@@ -1,0 +1,67 @@
+"""Grid-snap op vs the brute-force oracle (CUDA scan semantics,
+ant_quantization/quant/quant_kernel.cu:29-36)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ant_quantization_tpu.numerics import codebooks as cb
+from ant_quantization_tpu.ops.snap import (snap, snap_bruteforce, snap_codes,
+                                           snap_concat)
+
+
+def _grids():
+    for mode in ("int", "pot", "float", "flint", "apot"):
+        for signed in (True, False):
+            yield cb.ant_grid(mode, 4, signed)
+    yield cb.olive_int_values(4, True)
+    yield cb.olive_flint_values(4, True)
+
+
+def test_snap_matches_bruteforce_random(rng):
+    x = jnp.asarray(rng.normal(size=4096).astype(np.float32) * 8)
+    for grid in _grids():
+        g = jnp.asarray(grid)
+        deq, codes = snap(x, g)
+        deq_bf, _ = snap_bruteforce(x, g)
+        np.testing.assert_array_equal(np.asarray(deq), np.asarray(deq_bf))
+        np.testing.assert_array_equal(np.asarray(g)[np.asarray(codes)],
+                                      np.asarray(deq))
+
+
+def test_tie_snaps_to_larger():
+    grid = jnp.array([0.0, 1.0, 2.0, 4.0], dtype=jnp.float32)
+    x = jnp.array([0.5, 1.5, 3.0, -10.0, 10.0], dtype=jnp.float32)
+    deq, _ = snap(x, grid)
+    np.testing.assert_array_equal(deq, [1.0, 2.0, 4.0, 0.0, 4.0])
+
+
+def test_snap_exact_grid_points():
+    grid = jnp.asarray(cb.ant_grid("flint", 4, True))
+    deq, _ = snap(grid, grid)
+    np.testing.assert_array_equal(deq, grid)
+
+
+def test_snap_concat_matches_cuda_concat_order(rng):
+    """OliVe concatenates normals+outliers unsorted; ties must resolve
+    toward the later (outlier) entry, e.g. -40 -> -48, not -32."""
+    normals = jnp.asarray(cb.olive_flint_values(4, True))
+    outliers = jnp.asarray(cb.olive_outlier_values(4, True))
+    full = jnp.concatenate([normals, outliers])
+    x = jnp.asarray(rng.normal(size=8192).astype(np.float32) * 64)
+    # include exact midpoints on both sides
+    x = jnp.concatenate([x, jnp.array([40.0, -40.0, 32.0, -32.0, 400.0])])
+    deq, _ = snap_concat(x, full)
+    deq_bf, _ = snap_bruteforce(x, full)
+    np.testing.assert_array_equal(np.asarray(deq), np.asarray(deq_bf))
+    # explicit tie checks: +40 ties 32/48 -> 48 (later); -40 ties -32/-48 -> -48
+    np.testing.assert_array_equal(np.asarray(deq[-5:]),
+                                  [48.0, -48.0, 32.0, -32.0, 384.0])
+
+
+def test_snap_codes_shape_and_dtype(rng):
+    x = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    grid = jnp.asarray(cb.ant_grid("int", 4, True))
+    codes = snap_codes(x, grid)
+    assert codes.shape == (8, 16)
+    assert codes.dtype in (jnp.int32, jnp.int64)
+    assert int(codes.min()) >= 0 and int(codes.max()) < 16
