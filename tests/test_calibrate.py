@@ -1,0 +1,210 @@
+"""Calibration engine vs a numpy oracle transcribing the reference's
+search_mse / search_adaptive_numeric_type / _init_quant_para logic
+(ant quant_modules.py:280-533, olive quant_modules.py:189-292)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ant_quantization_tpu.numerics import codebooks as cb
+from ant_quantization_tpu.calibrate.search import (apply_quant, calibrate,
+                                                   mode_index)
+from ant_quantization_tpu.calibrate.spec import SiteConfig
+
+# ---------------------------------------------------------------------------
+# numpy oracle
+# ---------------------------------------------------------------------------
+
+
+def _np_snap_last_tie(xs, grid):
+    d = np.abs(xs[..., None] - grid.astype(xs.dtype))
+    return grid[(grid.shape[0] - 1) - np.argmin(d[..., ::-1], axis=-1)]
+
+
+def _np_ovp(q):
+    mask = np.abs(q) > 32
+    v_odd = np.roll(mask, 1)
+    v_odd[::2] = False
+    v_even = np.roll(mask & ~v_odd, -1)
+    v_even[1::2] = False
+    return q * ~(v_even | v_odd)
+
+
+def _np_forward(x2, grid, alpha, per_channel, outliers=None):
+    scale = alpha / grid.max()
+    if per_channel:
+        xs = x2 / scale[:, None]
+    else:
+        xs = x2 / scale
+    g = grid if outliers is None else np.concatenate([grid, outliers])
+    q = _np_snap_last_tie(xs.astype(np.float32), g.astype(np.float32))
+    if outliers is not None:
+        q = _np_ovp(q.reshape(-1)).reshape(q.shape)
+    if per_channel:
+        return q * scale[:, None]
+    return q * scale
+
+
+def _np_search_mse(x2, grid, per_channel, lb, ub, step, three_sigma):
+    if per_channel:
+        if three_sigma:
+            mean, std = x2.mean(1), x2.std(1, ddof=1)
+            x_max = np.maximum(np.abs(mean + 3 * std), np.abs(mean - 3 * std))
+        else:
+            x_max = np.abs(x2).max(1)
+        best = np.full_like(x_max, 1e10)
+        alpha = x_max.copy()
+        for i in range(lb, ub, step):
+            a = x_max * (i * 0.01)
+            q = _np_forward(x2, grid, a, True,
+                            outliers=_ol if three_sigma else None)
+            score = ((q - x2) ** 2).mean(1)
+            upd = score < best
+            alpha[upd] = a[upd]
+            best[upd] = score[upd]
+        return best, alpha
+    else:
+        if three_sigma:
+            mean, std = x2.mean(), x2.std(ddof=1)
+            x_max = max(abs(mean + 3 * std), abs(mean - 3 * std))
+        else:
+            x_max = np.abs(x2).max()
+        best, alpha = 1e10, x_max
+        for i in range(lb, ub, step):
+            a = x_max * (i * 0.01)
+            q = _np_forward(x2, grid, np.float32(a), False,
+                            outliers=_ol if three_sigma else None)
+            score = ((q - x2) ** 2).mean()
+            if score < best:
+                best, alpha = score, a
+        return best, alpha
+
+
+_ol = None  # set per-test for the olive oracle
+
+
+# ---------------------------------------------------------------------------
+# ANT tests
+# ---------------------------------------------------------------------------
+
+def test_ant_weight_type_selection_and_alpha(rng):
+    global _ol
+    _ol = None
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    cfg = SiteConfig(bit=4, mode="ant-int-pot-flint", family="ant",
+                     channel_axis=0)
+    st = jax.jit(lambda x: calibrate(x, cfg))(jnp.asarray(x))
+
+    # oracle: search in reference order int, flint, pot
+    scores = {}
+    alphas = {}
+    for m in ("int", "flint", "pot"):
+        grid = cb.ant_grid(m, 4, True)
+        best, a = _np_search_mse(x, grid, True, 75, 150, 1, False)
+        scores[m] = best.sum()
+        alphas[m] = (best, a)
+    want = min(scores, key=lambda m: scores[m])
+    assert int(st.mode_idx) == mode_index(want)
+    np.testing.assert_allclose(np.asarray(st.alpha), alphas[want][1],
+                               rtol=1e-5)
+    assert float(st.mse) == pytest.approx(alphas[want][0].mean(), rel=1e-4)
+    assert int(st.bit) == 4 and bool(st.is_signed)
+
+
+def test_ant_activation_per_tensor(rng):
+    x = np.abs(rng.normal(size=(4, 32)).astype(np.float32))  # unsigned
+    cfg = SiteConfig(bit=4, mode="ant-int-pot-flint", family="ant",
+                     is_input=True, is_signed=False)
+    st = jax.jit(lambda x: calibrate(x, cfg))(jnp.asarray(x))
+    assert not bool(st.is_signed)
+    assert np.asarray(st.alpha).shape == ()
+    scores = {}
+    for m in ("int", "flint", "pot"):
+        grid = cb.ant_grid(m, 4, False)
+        best, a = _np_search_mse(x.reshape(-1), grid, False, 75, 150, 1, False)
+        scores[m] = (best, a)
+    want = min(scores, key=lambda m: scores[m][0])
+    assert int(st.mode_idx) == mode_index(want)
+    assert float(st.alpha) == pytest.approx(scores[want][1], rel=1e-5)
+
+
+def test_ant_signedness_flips_for_negative_input(rng):
+    x = rng.normal(size=(4, 32)).astype(np.float32)  # has negatives
+    cfg = SiteConfig(bit=4, mode="ant-flint", family="ant",
+                     is_input=True, is_signed=False)
+    st = calibrate(jnp.asarray(x), cfg)
+    assert bool(st.is_signed)
+
+
+def test_ant_8bit_promotion_forces_int_and_95(rng):
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    cfg = SiteConfig(bit=4, mode="ant-int-pot-flint", family="ant",
+                     channel_axis=0)
+    st = jax.jit(lambda x, p: calibrate(x, cfg, promoted=p))(
+        jnp.asarray(x), jnp.asarray(True))
+    assert int(st.bit) == 8
+    assert int(st.mode_idx) == mode_index("int")
+    grid = cb.ant_grid("int", 8, True)
+    best, a = _np_search_mse(x, grid, True, 95, 150, 1, False)
+    np.testing.assert_allclose(np.asarray(st.alpha), a, rtol=1e-5)
+    # stored grid is padded to 256 by repeating the max
+    g = np.asarray(st.grid)
+    np.testing.assert_allclose(g[:256], grid, rtol=1e-6)
+
+
+def test_apply_quant_roundtrip(rng):
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    cfg = SiteConfig(bit=4, mode="ant-int-pot-flint", family="ant",
+                     channel_axis=0)
+    st = calibrate(jnp.asarray(x), cfg)
+    q = apply_quant(jnp.asarray(x), st, cfg)
+    assert q.shape == x.shape
+    # quantized output matches the oracle forward at the calibrated alpha
+    mode = cb.ANT_MODES[int(st.mode_idx)]
+    grid = cb.ant_grid(mode, 4, True)
+    want = _np_forward(x, grid, np.asarray(st.alpha), True)
+    np.testing.assert_allclose(np.asarray(q), want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# OliVe tests
+# ---------------------------------------------------------------------------
+
+def test_olive_weight_with_ovp(rng):
+    global _ol
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    x[:, ::17] *= 10  # outliers
+    _ol = cb.olive_outlier_values(4, True)
+    cfg = SiteConfig(bit=4, mode="ant-int-flint", family="olive",
+                     w_up=250, a_up=250, scan_step=2, channel_axis=0)
+    st = jax.jit(lambda x: calibrate(x, cfg))(jnp.asarray(x))
+    scores = {}
+    for m in ("int", "flint"):
+        grid = cb.olive_grid(m, 4, True)
+        best, a = _np_search_mse(x, grid, True, 75, 250, 2, True)
+        scores[m] = (best.sum(), a, best)
+    want = min(scores, key=lambda m: scores[m][0])
+    assert int(st.mode_idx) == mode_index(want)
+    np.testing.assert_allclose(np.asarray(st.alpha), scores[want][1],
+                               rtol=1e-5)
+    assert float(st.mse) == pytest.approx(scores[want][2].mean(), rel=1e-4)
+
+
+def test_olive_no_outlier_absmax_init(rng):
+    global _ol
+    _ol = None
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    cfg = SiteConfig(bit=4, mode="ant-int-flint", family="olive",
+                     w_up=250, a_up=250, scan_step=2, no_outlier=True,
+                     channel_axis=0)
+    st = calibrate(jnp.asarray(x), cfg)
+    scores = {}
+    for m in ("int", "flint"):
+        grid = cb.olive_grid(m, 4, True)
+        best, a = _np_search_mse(x, grid, True, 75, 250, 2, False)
+        scores[m] = (best.sum(), a)
+    want = min(scores, key=lambda m: scores[m][0])
+    assert int(st.mode_idx) == mode_index(want)
+    np.testing.assert_allclose(np.asarray(st.alpha), scores[want][1],
+                               rtol=1e-5)
