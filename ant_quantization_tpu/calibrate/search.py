@@ -41,7 +41,7 @@ from ..numerics import codebooks as cb
 from ..ops.fake_quant import olive_fake_quant, ant_fake_quant
 from .spec import (GRID_PAD, OUTLIER_PAD, QuantState, SiteConfig, pad_grid)
 
-__all__ = ["calibrate", "apply_quant", "mode_index"]
+__all__ = ["calibrate", "calibrate_jit", "apply_quant", "mode_index"]
 
 
 def mode_index(mode: str) -> int:
@@ -236,6 +236,15 @@ def calibrate(x: jax.Array, cfg: SiteConfig,
         mse=score.mean() if per_channel else jnp.asarray(score, jnp.float32),
         initialized=jnp.asarray(True),
     )
+
+
+# Per-site jitted calibration. Keyed on (shape, dtype, cfg): a transformer
+# with N identical blocks compiles the calibration program once per distinct
+# tensor shape, not once per site — crucial because a whole-model jitted
+# calibration pass produces an enormous HLO (scan ladder x sites) that
+# compiles for many minutes at scale. Call the calibration apply() WITHOUT an
+# outer jax.jit so each site dispatches this cached executable.
+calibrate_jit = jax.jit(calibrate, static_argnames=("cfg",))
 
 
 def apply_quant(x: jax.Array, state: QuantState, cfg: SiteConfig) -> jax.Array:

@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..calibrate.search import apply_quant, calibrate
+from ..calibrate.search import apply_quant, calibrate_jit
 from ..calibrate.spec import QuantState, SiteConfig, placeholder_state
 from .config import QuantConfig
 
@@ -38,8 +38,12 @@ class _QuantSite:
     def __init__(self, mdl: nn.Module, name: str, cfg: SiteConfig,
                  num_channels: Optional[int]):
         self.cfg = cfg
-        self.var = mdl.variable("quant", name, placeholder_state,
-                                num_channels)
+        # disabled sites create no state: an unquantized model applies with
+        # bare imported params (no 'quant' collection at all)
+        self.var = None
+        if cfg.enabled:
+            self.var = mdl.variable("quant", name, placeholder_state,
+                                    num_channels)
         self.calibrating = mdl.is_mutable_collection("quant")
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -49,9 +53,10 @@ class _QuantSite:
             # promotion is sticky: a state previously set to 8-bit stays
             # 8-bit through recalibration (bit buffer persists in the
             # reference checkpoints too)
-            promoted = self.var.value.bit >= 8 if self.cfg.bit < 8 else None
-            self.var.value = calibrate(x.astype(jnp.float32), self.cfg,
-                                       promoted=promoted)
+            promoted = (self.var.value.bit >= 8 if self.cfg.bit < 8
+                        else jnp.asarray(False))
+            self.var.value = calibrate_jit(x.astype(jnp.float32), self.cfg,
+                                           promoted=promoted)
         q = apply_quant(x.astype(jnp.float32), self.var.value, self.cfg)
         return q.astype(x.dtype)
 
