@@ -1,0 +1,62 @@
+"""INT8 KV-cache ops.
+
+The serving engine stores K/V as int8 codes with per-(batch, position,
+head) scales: 2x less HBM than bf16, 4x less than f32. Quantization is
+symmetric absmax over the head dim (the standard KV-cache INT8 recipe);
+append and attention-read are fused-friendly jnp ops that XLA vectorizes —
+a Pallas paged-attention variant can slot in later without changing the
+engine API.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["QuantKV", "init_kv", "append_kv", "dequant_kv"]
+
+
+class QuantKV(NamedTuple):
+    k: jax.Array        # (B, S, H, D) int8
+    v: jax.Array        # (B, S, H, D) int8
+    k_scale: jax.Array  # (B, S, H) f32
+    v_scale: jax.Array  # (B, S, H) f32
+
+
+def init_kv(batch: int, max_len: int, n_heads: int, head_dim: int) -> QuantKV:
+    z8 = jnp.zeros((batch, max_len, n_heads, head_dim), jnp.int8)
+    zs = jnp.zeros((batch, max_len, n_heads), jnp.float32)
+    return QuantKV(z8, z8, zs, zs)
+
+
+def _quantize(x: jax.Array):
+    """(..., D) -> int8 codes + scale over the last dim."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.float32)
+
+
+def append_kv(cache: QuantKV, k: jax.Array, v: jax.Array,
+              index) -> QuantKV:
+    """Write new (B, T, H, D) keys/values at position ``index``.
+
+    If the cache buffers are int8 the new entries are quantized; otherwise
+    they are stored raw (bf16/f32 baseline cache)."""
+    upd = lambda buf, val: jax.lax.dynamic_update_slice(
+        buf, val.astype(buf.dtype), (0, index) + (0,) * (buf.ndim - 2))
+    if cache.k.dtype == jnp.int8:
+        kq, ks = _quantize(k)
+        vq, vs = _quantize(v)
+        return QuantKV(upd(cache.k, kq), upd(cache.v, vq),
+                       upd(cache.k_scale, ks), upd(cache.v_scale, vs))
+    return QuantKV(upd(cache.k, k), upd(cache.v, v),
+                   cache.k_scale, cache.v_scale)
+
+
+def dequant_kv(cache: QuantKV, dtype=jnp.bfloat16):
+    k = cache.k.astype(dtype) * cache.k_scale[..., None].astype(dtype)
+    v = cache.v.astype(dtype) * cache.v_scale[..., None].astype(dtype)
+    return k, v

@@ -1,0 +1,182 @@
+"""Fused dequantize(W4) + matmul Pallas TPU kernel.
+
+This is the real-quantized serving path that replaces the reference's
+fake-quant CUDA extension (quant_kernel.cu): weights live in HBM as packed
+4-bit codes (4x less bandwidth than bf16, 8x less than f32) and are decoded
+in-register on the VPU while feeding the MXU.
+
+Layout: codes are packed two-per-byte in *split-K halves* —
+``packed[i, n]`` holds code(k=i, n) in the low nibble and code(k=i+K/2, n)
+in the high nibble. Unpacking therefore never interleaves lanes or
+sublanes: the kernel computes ``x_lo @ dequant(lo) + x_hi @ dequant(hi)``.
+
+Decode: ANT grids are arbitrary 16-entry codebooks (flint/pot/float/int),
+so dequant is a 16-way select tree over broadcast compares — pure VPU work,
+no gathers. The per-output-channel scale multiplies the accumulator once.
+
+The packing helper reproduces the exact fake-quant numerics: packing
+``snap_codes(w/scale)`` and dequantizing through this kernel equals the
+reference's fake-quant output bit-for-bit (tested in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.snap import snap_codes
+
+__all__ = ["pack_w4", "quantized_matmul_w4", "dequant_w4_reference"]
+
+
+def pack_w4(codes: jax.Array) -> jax.Array:
+    """(K, N) int codes in [0,16) -> (K//2, N) uint8 split-K packed."""
+    K = codes.shape[0]
+    assert K % 2 == 0, "K must be even for split-K packing"
+    lo = codes[: K // 2].astype(jnp.uint8)
+    hi = codes[K // 2:].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def _decode16(nibbles: jax.Array, grid: jax.Array) -> jax.Array:
+    """16-way select tree: nibbles (any shape, int) -> grid values (f32).
+
+    ``grid`` is a length-16 trace-time constant or a (16,) array; compares
+    are elementwise VPU ops (no gather)."""
+    w = jnp.full(nibbles.shape, grid[0], jnp.float32)
+    for i in range(1, 16):
+        w = jnp.where(nibbles == i, grid[i], w)
+    return w
+
+
+def _qmm_kernel(x_ref, w_ref, scale_ref, grid_ref, o_ref, *, n_k: int):
+    """One (bm, bn) output tile at one K-step; accumulates into o_ref.
+
+    x_ref:    (bm, 2, bk2)  activation slice: [:,0,:] pairs the low
+                            nibbles, [:,1,:] the high nibbles
+    w_ref:    (bk2, bn)     packed bytes for this K-step
+    scale_ref:(1, bn)       per-output-channel scale
+    grid_ref: (1, 16)       codebook (SMEM, read as scalars)
+    o_ref:    (bm, bn)      revisited across the K grid dimension
+    """
+    kc = pl.program_id(2)
+    grid = [grid_ref[0, i] for i in range(16)]
+
+    def decode(nib):
+        w = jnp.full(nib.shape, grid[0], jnp.float32)
+        for i in range(1, 16):
+            w = jnp.where(nib == i, grid[i], w)
+        return w
+
+    # widen before bit ops: Mosaic has no uint8 shift lowering
+    byte = w_ref[:, :].astype(jnp.int32)
+    lo = byte & 0xF
+    hi = (byte >> 4) & 0xF
+    part = jnp.dot(x_ref[:, 0, :].astype(jnp.float32), decode(lo),
+                   preferred_element_type=jnp.float32)
+    part += jnp.dot(x_ref[:, 1, :].astype(jnp.float32), decode(hi),
+                    preferred_element_type=jnp.float32)
+
+    @pl.when(kc == 0)
+    def _():
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+    o_ref[:, :] += part
+
+    @pl.when(kc == n_k - 1)
+    def _():
+        o_ref[:, :] *= scale_ref[0, :][None, :]
+
+
+def _fit_block(n: int, want: int, quantum: int = 128) -> int:
+    """Largest divisor of n that is <= want and a multiple of ``quantum``
+    (falling back to n itself for small/odd sizes)."""
+    if n <= want:
+        return n
+    b = (want // quantum) * quantum
+    while b >= quantum:
+        if n % b == 0:
+            return b
+        b -= quantum
+    return n
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "block_k2", "interpret"))
+def quantized_matmul_w4(x: jax.Array, packed: jax.Array, scale: jax.Array,
+                        grid: jax.Array, *, block_m: int = 256,
+                        block_n: int = 256, block_k2: int = 512,
+                        interpret: bool = False) -> jax.Array:
+    """x (M, K) @ dequant(packed (K//2, N)) * scale (N,) -> (M, N) f32.
+
+    ``grid`` is the 16-entry integer-domain codebook; ``scale`` is
+    alpha/max(grid) per output channel (or a broadcast scalar).
+    M is padded up to the tile quantum internally.
+    """
+    M, K = x.shape
+    K2, N = packed.shape
+    assert K == 2 * K2, (K, K2)
+    scale = jnp.broadcast_to(scale.reshape(-1), (N,)).astype(jnp.float32)
+    grid = grid.reshape(1, 16).astype(jnp.float32)
+
+    bm = min(block_m, M)
+    if M % bm:
+        pad = bm - M % bm
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Mp = x.shape[0]
+    bn = _fit_block(N, block_n)
+    bk2 = _fit_block(K2, block_k2)
+    n_k = K2 // bk2
+    # (M, K) -> (M, 2, K2): the two nibble halves become block-contiguous
+    x3 = x.reshape(Mp, 2, K2)
+
+    kernel = functools.partial(_qmm_kernel, n_k=n_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // bm, N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, 2, bk2), lambda i, j, c: (i, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk2, bn), lambda i, j, c: (c, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, c: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i, j, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, c: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        interpret=interpret,
+    )(x3, packed, scale.reshape(1, N), grid)
+    return out[:M]
+
+
+def dequant_w4_reference(packed: jax.Array, scale: jax.Array,
+                         grid: jax.Array) -> jax.Array:
+    """Plain-jnp oracle: unpack + LUT + scale -> (K, N) f32."""
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = (packed >> 4).astype(jnp.int32)
+    g = grid.astype(jnp.float32)
+    w = jnp.concatenate([g[lo], g[hi]], axis=0)
+    return w * jnp.broadcast_to(scale.reshape(-1), (w.shape[1],))[None, :]
+
+
+def quantize_weights_w4(w: jax.Array, grid: jax.Array,
+                        alpha: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Quantize a (K, N) weight onto a 16-entry grid with per-N-channel
+    alpha; returns (packed (K//2, N) uint8, scale (N,)).
+
+    scale = alpha / max(grid), codes = snap(w / scale) — identical
+    arithmetic to the fake-quant path (quant_modules.py:535-551)."""
+    g16 = grid.reshape(-1)[:16]
+    scale = (jnp.broadcast_to(alpha.reshape(-1), (w.shape[1],))
+             / jnp.max(g16)).astype(jnp.float32)
+    codes = snap_codes(w / scale[None, :], g16)
+    return pack_w4(codes), scale

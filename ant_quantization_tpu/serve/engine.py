@@ -1,0 +1,235 @@
+"""Quantized serving engine for the decoder LM family.
+
+TPU-native redesign of what the reference does with HF Trainer eval
+(olive llm/run_clm.py): instead of fake-quantizing f32 weights on every
+forward, weights are packed once into 4-bit codes and decoded in-register
+by the fused Pallas matmul (kernels/qmatmul.py); K/V are stored INT8
+(kernels/kv_cache.py). Layer parameters are *stacked* (L, ...) arrays and
+the layer loop is a single ``lax.scan`` — one compiled block regardless of
+depth, which keeps compile times flat from GPT-2-small to OPT-6.7B.
+
+Weight modes:
+  "w4"   packed 4-bit codes + per-channel scale + 16-entry codebook/layer
+  "bf16" dense baseline (the vs_baseline reference for bench.py)
+
+Activation quantization (A4/A8) applies the calibrated per-tensor grids
+with a midpoint-threshold snap (pure VPU compares, no gathers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.kv_cache import QuantKV, append_kv, dequant_kv, init_kv
+from ..kernels.qmatmul import pack_w4, quantized_matmul_w4
+from ..models.transformer_lm import LMConfig, alibi_slopes
+from ..numerics import codebooks as cb
+from ..ops.snap import snap_codes
+
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    lm: LMConfig
+    weight_mode: str = "w4"        # "w4" | "bf16"
+    act_bits: int = 0              # 0 = no activation quant, else 4/8
+    kv_int8: bool = True
+    max_seq: int = 2048
+    block_n: int = 512
+    dtype: Any = jnp.bfloat16
+    interpret: bool = False        # Pallas interpret mode (CPU tests)
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _midpoint_snap(x: jax.Array, grid: jax.Array) -> jax.Array:
+    """Snap x onto a sorted grid via midpoint thresholds: G-1 broadcast
+    compares + select tree — no gathers, VPU-only. Ties at exact midpoints
+    go to the larger value (the CUDA kernel's rule)."""
+    g = grid.astype(x.dtype)
+    mids = (g[1:] + g[:-1]) * 0.5
+    idx = jnp.zeros(x.shape, jnp.int32)
+    for i in range(mids.shape[0]):
+        idx = idx + (x >= mids[i]).astype(jnp.int32)
+    out = jnp.full(x.shape, g[0], x.dtype)
+    for i in range(1, g.shape[0]):
+        out = jnp.where(idx == i, g[i], out)
+    return out
+
+
+def quantize_activation(x: jax.Array, grid16: jax.Array,
+                        alpha: jax.Array) -> jax.Array:
+    """Per-tensor activation fake-quant for the serving path."""
+    scale = (alpha / jnp.max(grid16)).astype(x.dtype)
+    return _midpoint_snap(x / scale, grid16) * scale
+
+
+def build_engine_params(cfg: EngineConfig, params: Dict,
+                        quant: Optional[Dict] = None) -> Dict:
+    """Per-layer param tree (h_0..h_{L-1}) -> stacked engine params.
+
+    With weight_mode=w4, each matmul site needs its calibrated QuantState
+    in ``quant`` (grids/alphas); kernels are packed host-side once.
+    """
+    c = cfg.lm
+    attn_sites = ("qkv", "out") if c.fused_qkv else ("q", "k", "v", "out")
+    sites = attn_sites + ("fc_in", "fc_out")
+    layers = []
+    for i in range(c.n_layers):
+        p = params[f"h_{i}"]
+        q = quant.get(f"h_{i}") if quant else None
+        lay = {
+            "ln_1": p["ln_1"], "ln_2": p["ln_2"],
+        }
+        for site in sites:
+            parent = "attn" if site in attn_sites else None
+            node = p["attn"][site] if parent else p[site]
+            kernel = np.asarray(node["kernel"], np.float32)
+            entry: Dict[str, Any] = {"bias": jnp.asarray(
+                node.get("bias", np.zeros(kernel.shape[1], np.float32)))}
+            if cfg.weight_mode == "w4":
+                qs = (q["attn"][site]["weight_q"] if parent
+                      else q[site]["weight_q"])
+                grid16 = jnp.asarray(qs.grid)[:16]
+                alpha = jnp.asarray(qs.alpha).reshape(-1)
+                scale = (alpha / jnp.max(grid16)).astype(jnp.float32)
+                codes = snap_codes(jnp.asarray(kernel) / scale[None, :],
+                                   grid16)
+                entry.update(packed=pack_w4(codes), scale=scale,
+                             grid=grid16.astype(jnp.float32))
+            else:
+                entry.update(kernel=jnp.asarray(kernel, cfg.dtype))
+            if cfg.act_bits and q is not None:
+                aq = (q["attn"][site]["input_q"] if parent
+                      else q[site]["input_q"])
+                entry.update(a_grid=jnp.asarray(aq.grid)[:2 ** cfg.act_bits],
+                             a_alpha=jnp.asarray(aq.alpha).reshape(()))
+            lay[site] = entry
+        layers.append(lay)
+
+    stacked = _stack(layers)
+    top = {"wte": jnp.asarray(params["wte"]["embedding"], cfg.dtype),
+           "ln_f": params["ln_f"]}
+    if "wpe" in params:
+        top["wpe"] = jnp.asarray(params["wpe"]["embedding"], cfg.dtype)
+    if "embed_ln" in params:
+        top["embed_ln"] = params["embed_ln"]
+    return {"layers": stacked, "top": top}
+
+
+def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict) -> jax.Array:
+    if cfg.act_bits and "a_grid" in site:
+        x2d = quantize_activation(x2d, site["a_grid"], site["a_alpha"])
+    if cfg.weight_mode == "w4":
+        y = quantized_matmul_w4(x2d.astype(jnp.float32), site["packed"],
+                                site["scale"], site["grid"],
+                                block_n=cfg.block_n,
+                                interpret=cfg.interpret)
+        return (y + site["bias"]).astype(cfg.dtype)
+    y = jnp.dot(x2d.astype(cfg.dtype), site["kernel"],
+                preferred_element_type=jnp.float32)
+    return (y + site["bias"]).astype(cfg.dtype)
+
+
+def _ln(x, p, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return ((x - mu) * jax.lax.rsqrt(var + eps) * p["scale"]
+            + p["bias"]).astype(x.dtype)
+
+
+def _act(name, x):
+    if name == "relu":
+        return jax.nn.relu(x)
+    return 0.5 * x * (1.0 + jnp.tanh(
+        np.sqrt(2.0 / np.pi).astype(np.float32) *
+        (x + 0.044715 * jnp.power(x, 3.0))))
+
+
+def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
+    """q (B, T, H, D) against the (possibly INT8) cache."""
+    c = cfg.lm
+    if cfg.kv_int8:
+        k, v = dequant_kv(kv, cfg.dtype)
+    else:
+        k, v = kv.k, kv.v
+    S = k.shape[1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / np.sqrt(c.head_dim)
+    q_pos = pos0 + jnp.arange(T)[:, None]
+    k_pos = jnp.arange(S)[None, :]
+    if alibi is not None:
+        scores = scores + (alibi[None, :, None, None]
+                           * (k_pos - q_pos)[None, None].astype(jnp.float32))
+    mask = (k_pos <= q_pos)[None, None]
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    attn = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(cfg.dtype))
+    return out
+
+
+def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
+            kv: Tuple, pos0) -> Tuple[jax.Array, Tuple]:
+    """Shared prefill/decode forward: writes new K/V at pos0, attends over
+    the full cache. kv is a stacked-over-layers QuantKV (leaves (L, ...))."""
+    c = cfg.lm
+    B, T = ids.shape
+    x = ep["top"]["wte"][ids]
+    if c.positions == "learned":
+        x = x + ep["top"]["wpe"][pos0 + jnp.arange(T)]
+    elif c.positions == "learned_offset2":
+        x = x + ep["top"]["wpe"][pos0 + jnp.arange(T) + 2]
+    if "embed_ln" in ep["top"]:
+        x = _ln(x, ep["top"]["embed_ln"], c.ln_eps)
+    alibi = (jnp.asarray(alibi_slopes(c.n_heads), jnp.float32)
+             if c.positions == "alibi" else None)
+
+    def layer(x, scanned):
+        lay, kv_l = scanned
+        h = _ln(x, lay["ln_1"], c.ln_eps)
+        x2 = h.reshape(B * T, c.d_model)
+        if c.fused_qkv:
+            qkv = _site_matmul(cfg, x2, lay["qkv"]).reshape(B, T,
+                                                            3 * c.d_model)
+            qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+        else:
+            qh = _site_matmul(cfg, x2, lay["q"]).reshape(B, T, c.d_model)
+            kh = _site_matmul(cfg, x2, lay["k"]).reshape(B, T, c.d_model)
+            vh = _site_matmul(cfg, x2, lay["v"]).reshape(B, T, c.d_model)
+        sh = (B, T, c.n_heads, c.head_dim)
+        qh, kh, vh = qh.reshape(sh), kh.reshape(sh), vh.reshape(sh)
+        kv_l = append_kv(kv_l, kh.astype(jnp.float32),
+                         vh.astype(jnp.float32), pos0)
+        a = _attention(cfg, qh, kv_l, pos0, T, alibi)
+        a = a.reshape(B * T, c.d_model)
+        x = x + _site_matmul(cfg, a, lay["out"]).reshape(B, T, c.d_model)
+        h = _ln(x, lay["ln_2"], c.ln_eps)
+        h2 = _site_matmul(cfg, h.reshape(B * T, c.d_model), lay["fc_in"])
+        h2 = _act(c.activation, h2)
+        h2 = _site_matmul(cfg, h2, lay["fc_out"]).reshape(B, T, c.d_model)
+        return x + h2, kv_l
+
+    x, kv = jax.lax.scan(layer, x, (ep["layers"], kv))
+    x = _ln(x, ep["top"]["ln_f"], c.ln_eps)
+    logits = jnp.dot(x, ep["top"]["wte"].T,
+                     preferred_element_type=jnp.float32)
+    return logits, kv
+
+
+def init_cache(cfg: EngineConfig, batch: int):
+    c = cfg.lm
+    kv = init_kv(batch, cfg.max_seq, c.n_heads, c.head_dim)
+    if not cfg.kv_int8:
+        kv = QuantKV(
+            jnp.zeros(kv.k.shape, cfg.dtype), jnp.zeros(kv.v.shape, cfg.dtype),
+            kv.k_scale, kv.v_scale)
+    # stack over layers
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (c.n_layers,) + x.shape), kv)

@@ -1,0 +1,116 @@
+"""Serving engine vs the model-zoo forward: bf16 baseline parity, packed-W4
+parity with fake-quant, INT8 KV-cache decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ant_quantization_tpu.models.transformer_lm import (LMConfig,
+                                                        TransformerLM)
+from ant_quantization_tpu.nn.config import QuantConfig
+from ant_quantization_tpu.serve import engine as eng
+
+
+def _tiny(fused=True, positions="learned", activation="gelu_new",
+          embed_ln=False):
+    return LMConfig(vocab_size=128, d_model=64, n_layers=2, n_heads=4,
+                    d_ff=128, max_seq=64, positions=positions,
+                    activation=activation, fused_qkv=fused,
+                    embed_ln=embed_ln)
+
+
+def _setup(cfg, qcfg=None, seed=0):
+    qcfg = qcfg or QuantConfig(enabled=False)
+    model = TransformerLM(cfg, qcfg)
+    ids = jnp.asarray(np.random.default_rng(seed).integers(
+        0, cfg.vocab_size, (2, 12)))
+    variables = model.init(jax.random.PRNGKey(1), ids)
+    return model, ids, variables
+
+
+def test_engine_bf16_matches_model():
+    cfg = _tiny()
+    model, ids, variables = _setup(cfg)
+    want = model.apply(variables, ids)
+
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=False,
+                            max_seq=32, dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+    kv = eng.init_cache(ecfg, 2)
+    got, kv = eng.forward(ecfg, ep, ids, kv, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_engine_split_qkv_opt_style():
+    cfg = _tiny(fused=False, positions="learned_offset2", activation="relu")
+    model, ids, variables = _setup(cfg)
+    want = model.apply(variables, ids)
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=False,
+                            max_seq=32, dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+    got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_engine_alibi_bloom_style():
+    cfg = _tiny(positions="alibi", activation="gelu", embed_ln=True)
+    model, ids, variables = _setup(cfg)
+    want = model.apply(variables, ids)
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=False,
+                            max_seq=32, dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+    got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_engine_w4_matches_fake_quant_model():
+    """Packed-W4 engine logits == fake-quant model logits (weights only)."""
+    cfg = _tiny()
+    qcfg = QuantConfig(mode="flint", family="ant", quantize_input=False,
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    model, ids, variables = _setup(cfg, qcfg)
+    _, upd = model.apply(variables, ids, mutable=["quant"])
+    want = model.apply({"params": variables["params"],
+                        "quant": upd["quant"]}, ids)
+
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="w4", act_bits=0,
+                            kv_int8=False, max_seq=32, dtype=jnp.float32,
+                            interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"], upd["quant"])
+    got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_engine_decode_matches_prefill():
+    cfg = _tiny()
+    model, ids, variables = _setup(cfg)
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=True,
+                            max_seq=32, dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+
+    kv = eng.init_cache(ecfg, 2)
+    full, _ = eng.forward(ecfg, ep, ids, kv, 0)
+
+    kv = eng.init_cache(ecfg, 2)
+    logits = None
+    for t in range(ids.shape[1]):
+        logits, kv = eng.forward(ecfg, ep, ids[:, t:t + 1], kv, t)
+    # int8 KV adds quantization noise; logits should still track closely
+    np.testing.assert_allclose(np.asarray(logits[:, 0]),
+                               np.asarray(full[:, -1]), rtol=0.1, atol=0.15)
+
+
+def test_engine_int8_kv_noise_is_small():
+    cfg = _tiny()
+    model, ids, variables = _setup(cfg)
+    want = model.apply(variables, ids)
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=True,
+                            max_seq=32, dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+    got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+    rel = float(jnp.abs(got - want).mean() / jnp.abs(want).mean())
+    assert rel < 0.05, rel
