@@ -1,0 +1,80 @@
+"""Benchmark tables + result driver vs the reference's golden ant_res.csv
+(ant_simulator/results/ant_res.csv line 3: per-net normalized cycles)."""
+
+import numpy as np
+import pytest
+
+from ant_quantization_tpu.perfmodel.nets import BENCHLIST, get_layers
+from ant_quantization_tpu.perfmodel.results import (ACCELS,
+                                                    normalized_results,
+                                                    summarize)
+from ant_quantization_tpu.perfmodel.simulator import ConvSpec, MatMulSpec
+
+
+def test_table_row_counts():
+    want = {"vgg16": 16, "resnet18": 21, "resnet50": 54, "inceptionv3": 95,
+            "vit": 49, "mnli": 74, "cola": 74, "sst_2": 74}
+    for net, n in want.items():
+        assert len(get_layers(net, "ant")) == n, net
+    # BitFusion's ViT table carries the extra patch-embed conv
+    assert len(get_layers("vit", "bitfusion")) == 50
+
+
+def test_table_precision_policies():
+    ada = get_layers("resnet50", "adafloat")
+    assert all(l.iprec == l.wprec == 8 for l in ada)
+    bis = get_layers("vit", "biscaled")
+    assert all(l.iprec == 6 for l in bis)
+    ant = get_layers("resnet18", "ant")
+    assert ant[0].iprec == 8 and ant[-1].iprec == 8
+    assert all(l.iprec == 4 for l in ant[1:-1])
+
+
+def test_macs_checksum():
+    """Total MACs per net (shape-table integrity, independent of the
+    simulator)."""
+    def macs(l):
+        if isinstance(l, ConvSpec):
+            return l.k * l.k * l.out * l.out * l.ic * l.oc
+        return l.ni * l.no * l.rows
+    got = {net: sum(macs(l) for l in get_layers(net, "adafloat"))
+           for net in BENCHLIST}
+    # vgg16: 13 convs + 3 fc = 15.47G MACs (the simulator's K=Kh quirk
+    # makes inceptionv3 differ from true MACs; value locked to the tables)
+    assert got["vgg16"] == 15_470_264_320
+    assert got["resnet18"] == 1_814_073_344
+    assert got["mnli"] == 10_872_227_328
+
+
+@pytest.fixture(scope="module")
+def vgg_rows():
+    return normalized_results(nets=["vgg16", "resnet50"])
+
+
+def test_golden_normalized_cycles_vgg16(vgg_rows):
+    """Golden line 3 of ant_res.csv: VGG16 0.20/0.20/0.76/0.79/0.38/1.00."""
+    got = {r["accel"]: r["norm_cycles"] for r in vgg_rows
+           if r["network"] == "vgg16"}
+    want = {"ant_os": 0.20, "ant_ws": 0.20, "bitfusion": 0.76,
+            "olaccel": 0.79, "biscaled": 0.38, "adafloat": 1.00}
+    for k, v in want.items():
+        assert abs(got[k] - v) < 0.011, (k, got[k], v)
+
+
+def test_golden_normalized_cycles_resnet50(vgg_rows):
+    got = {r["accel"]: r["norm_cycles"] for r in vgg_rows
+           if r["network"] == "resnet50"}
+    assert abs(got["adafloat"] - 1.0) < 1e-9
+    # ANT ~4x faster than AdaFloat on resnet50 (golden 0.26/0.26)
+    assert 0.2 < got["ant_os"] < 0.33
+    assert got["bitfusion"] > got["ant_os"]
+
+
+def test_energy_breakdown_fractions(vgg_rows):
+    for r in vgg_rows:
+        total = r["static"] + r["dram"] + r["sram"] + r["core"]
+        assert abs(total - r["norm_energy"]) < 1e-9
+        assert r["norm_energy"] > 0
+    ada = [r for r in vgg_rows if r["accel"] == "adafloat"]
+    for r in ada:
+        assert abs(r["norm_energy"] - 1.0) < 1e-9
