@@ -39,6 +39,7 @@ import numpy as np
 
 from ..numerics import codebooks as cb
 from ..ops.fake_quant import olive_fake_quant, ant_fake_quant
+from ..ops.outlier import outlier_fake_quant, outlier_thresholds
 from .spec import (GRID_PAD, OUTLIER_PAD, QuantState, SiteConfig, pad_grid)
 
 __all__ = ["calibrate", "calibrate_jit", "apply_quant", "mode_index"]
@@ -195,6 +196,9 @@ def calibrate(x: jax.Array, cfg: SiteConfig,
     leg of set_8_bit_layer_n. Weight tensors are expected channel-last
     (flax convention); cfg.channel_axis selects the per-channel dim.
     """
+    if cfg.mode == "outlier":
+        return _calibrate_outlier(x, cfg)
+
     per_channel = cfg.per_channel
     if per_channel:
         x2 = jnp.moveaxis(x, cfg.channel_axis, 0).reshape(x.shape[cfg.channel_axis], -1)
@@ -235,6 +239,28 @@ def calibrate(x: jax.Array, cfg: SiteConfig,
         is_signed=signed,
         mse=score.mean() if per_channel else jnp.asarray(score, jnp.float32),
         initialized=jnp.asarray(True),
+        aux=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def _calibrate_outlier(x: jax.Array, cfg: SiteConfig) -> QuantState:
+    """GOBO-mode calibration (outlier_set, quant_modules.py:417-437):
+    per-tensor percentile/absmax thresholds, int grid, no MSE search."""
+    signed = jnp.asarray(cfg.is_signed) | (x.min() < 0)
+    t4, t16 = outlier_thresholds(x, cfg.percent)
+    # always per-tensor (outlier_set forces is_perchannel=False, :435)
+    pair = jnp.asarray(_grid_pair(cfg, "int", cfg.bit, search=False))
+    grid = pair[signed.astype(jnp.int32)]
+    return QuantState(
+        alpha=t4,
+        grid=_pad_dyn(grid, GRID_PAD),
+        outliers=jnp.zeros((OUTLIER_PAD,), jnp.float32),
+        bit=jnp.asarray(cfg.bit, jnp.int32),
+        mode_idx=jnp.asarray(mode_index("int"), jnp.int32),
+        is_signed=signed,
+        mse=jnp.asarray(0.0, jnp.float32),
+        initialized=jnp.asarray(True),
+        aux=t16,
     )
 
 
@@ -252,6 +278,9 @@ def apply_quant(x: jax.Array, state: QuantState, cfg: SiteConfig) -> jax.Array:
     quant_modules.py:535-551 / olive :294-330)."""
     if not cfg.enabled:
         return x
+    if cfg.mode == "outlier":
+        return outlier_fake_quant(x, state.grid, state.alpha, state.aux,
+                                  cfg.percent, state.is_signed)
     per_channel = cfg.per_channel
     ca = cfg.channel_axis if per_channel else None
     if cfg.use_ovp:

@@ -42,6 +42,8 @@ class QuantState:
     is_signed: jax.Array    # () bool
     mse: jax.Array          # () float32 calibration MSE (promotion ranking)
     initialized: jax.Array  # () bool
+    aux: jax.Array          # () float32: absmax threshold for the GOBO
+                            # "outlier" baseline mode (unused otherwise)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +67,7 @@ class SiteConfig:
     no_outlier: bool = False          # OliVe: disable OVP + 3-sigma init
     channel_axis: int = -1            # weight per-channel axis (flax: out)
     pair_axis: int = 0                # OVP pairing axis (flax kernel: in)
+    percent: float = 1.0              # GOBO outlier-mode percentile [0,1]
     enabled: bool = True
 
     @property
@@ -112,4 +115,5 @@ def placeholder_state(num_channels: Optional[int]) -> QuantState:
         is_signed=jnp.asarray(False),
         mse=jnp.asarray(0.0, jnp.float32),
         initialized=jnp.asarray(False),
+        aux=jnp.asarray(0.0, jnp.float32),
     )

@@ -1,0 +1,274 @@
+"""Data pipelines for the workload harnesses.
+
+TPU-native replacements of the reference's three input stacks:
+- DALI GPU ImageNet pipeline (ant ImageNet/dataloader.py:90-197) -> a
+  host-side PIL/numpy folder pipeline producing NHWC float batches, sharded
+  per JAX process (decode on host, compute on TPU; TPUs have no on-device
+  decode, so the host pipeline feeds a prefetch queue).
+- GLUE TSV processors (ant BERT/processors/glue.py:127-781) -> tsv/json
+  readers per task with identical text_a/text_b/label column conventions.
+- HF datasets group_texts chunking (olive llm/run_clm.py:521-535) ->
+  ``lm_blocks``: concatenate token streams, drop the remainder, split into
+  block_size chunks.
+
+Everything yields plain numpy; device placement/sharding happens in the
+harness loop.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "lm_blocks", "batched", "TextDataset",
+    "GLUE_TASKS", "GlueExample", "load_glue_split", "glue_num_labels",
+    "IMAGENET_MEAN", "IMAGENET_STD", "model_input_size",
+    "list_imagefolder", "load_image", "imagefolder_batches",
+    "synthetic_image_batches",
+]
+
+
+# ---------------------------------------------------------------------------
+# Causal-LM chunking (run_clm.py group_texts semantics)
+# ---------------------------------------------------------------------------
+
+def lm_blocks(token_ids: Sequence[int], block_size: int) -> np.ndarray:
+    """Concatenate tokens, drop the tail remainder, reshape to
+    (n_blocks, block_size) — exactly HF group_texts (run_clm.py:521-535)."""
+    ids = np.asarray(token_ids, np.int32)
+    n = (len(ids) // block_size) * block_size
+    return ids[:n].reshape(-1, block_size)
+
+
+def batched(array: np.ndarray, batch_size: int,
+            drop_remainder: bool = False) -> Iterator[np.ndarray]:
+    n = len(array)
+    stop = n - (n % batch_size) if drop_remainder else n
+    for i in range(0, stop, batch_size):
+        yield array[i:i + batch_size]
+
+
+class TextDataset:
+    """Tokenized text corpus -> LM eval blocks.
+
+    Sources, in priority order:
+    - a plain text file (one document; tokenized whole)
+    - a local HF dataset directory via ``datasets.load_from_disk``
+    - the HF hub (requires network; gated behind availability)
+    """
+
+    def __init__(self, tokens: np.ndarray, block_size: int):
+        self.blocks = lm_blocks(tokens, block_size)
+
+    @classmethod
+    def from_text_file(cls, path: str, tokenizer, block_size: int,
+                       max_chars: Optional[int] = None) -> "TextDataset":
+        with open(path, "r", encoding="utf-8") as f:
+            text = f.read(max_chars) if max_chars else f.read()
+        return cls(np.asarray(tokenizer(text)["input_ids"], np.int32),
+                   block_size)
+
+    @classmethod
+    def from_hf(cls, name: str, config: Optional[str], split: str,
+                tokenizer, block_size: int,
+                text_column: str = "text") -> "TextDataset":
+        import datasets  # local availability checked by caller
+        if os.path.isdir(name):
+            ds = datasets.load_from_disk(name)
+            if split in getattr(ds, "keys", lambda: [])():
+                ds = ds[split]
+        else:
+            ds = datasets.load_dataset(name, config, split=split)
+        ids: List[int] = []
+        for rec in ds:
+            t = rec[text_column]
+            if t:
+                ids.extend(tokenizer(t)["input_ids"])
+        return cls(np.asarray(ids, np.int32), block_size)
+
+
+# ---------------------------------------------------------------------------
+# GLUE (reference processors: ant BERT/processors/glue.py)
+# ---------------------------------------------------------------------------
+
+class GlueExample:
+    __slots__ = ("text_a", "text_b", "label")
+
+    def __init__(self, text_a: str, text_b: Optional[str], label):
+        self.text_a = text_a
+        self.text_b = text_b
+        self.label = label
+
+
+# task -> (labels, dev filename, columns of (text_a, text_b, label) in the
+# dev TSV). Column conventions follow the reference's per-task processors
+# (BERT/processors/glue.py:127-781) on the standard GLUE data layout.
+GLUE_TASKS: Dict[str, dict] = {
+    "cola": {"labels": ["0", "1"], "dev": "dev.tsv",
+             "cols": (3, None, 1), "header": False},
+    "sst2": {"labels": ["0", "1"], "dev": "dev.tsv",
+             "cols": (0, None, 1), "header": True},
+    "mrpc": {"labels": ["0", "1"], "dev": "dev.tsv",
+             "cols": (3, 4, 0), "header": True},
+    "qqp": {"labels": ["0", "1"], "dev": "dev.tsv",
+            "cols": (3, 4, 5), "header": True},
+    "mnli": {"labels": ["contradiction", "entailment", "neutral"],
+             "dev": "dev_matched.tsv", "cols": (8, 9, -1), "header": True},
+    "mnli-mm": {"labels": ["contradiction", "entailment", "neutral"],
+                "dev": "dev_mismatched.tsv", "cols": (8, 9, -1),
+                "header": True},
+    "qnli": {"labels": ["entailment", "not_entailment"], "dev": "dev.tsv",
+             "cols": (1, 2, -1), "header": True},
+    "rte": {"labels": ["entailment", "not_entailment"], "dev": "dev.tsv",
+            "cols": (1, 2, -1), "header": True},
+    "wnli": {"labels": ["0", "1"], "dev": "dev.tsv",
+             "cols": (1, 2, -1), "header": True},
+    "stsb": {"labels": None, "dev": "dev.tsv",
+             "cols": (7, 8, -1), "header": True},
+}
+
+
+def glue_num_labels(task: str) -> int:
+    labels = GLUE_TASKS[task.lower()]["labels"]
+    return 1 if labels is None else len(labels)
+
+
+def _read_tsv(path: str) -> List[List[str]]:
+    with open(path, "r", encoding="utf-8") as f:
+        return list(csv.reader(f, delimiter="\t", quotechar=None))
+
+
+def load_glue_split(data_dir: str, task: str,
+                    split: str = "dev") -> List[GlueExample]:
+    """Read a GLUE split from the standard TSV layout, or from a
+    jsonl file with {"sentence1"/"sentence2"/"label"} records."""
+    task = task.lower()
+    info = GLUE_TASKS[task]
+    jsonl = os.path.join(data_dir, f"{split}.jsonl")
+    if os.path.exists(jsonl):
+        out = []
+        with open(jsonl, "r", encoding="utf-8") as f:
+            for line in f:
+                r = json.loads(line)
+                out.append(GlueExample(
+                    r.get("sentence1") or r.get("sentence") or r["text_a"],
+                    r.get("sentence2") or r.get("text_b"),
+                    r["label"]))
+        return _encode_labels(out, info)
+    fname = info["dev"] if split == "dev" else f"{split}.tsv"
+    rows = _read_tsv(os.path.join(data_dir, fname))
+    if info["header"]:
+        rows = rows[1:]
+    ca, cb, cl = info["cols"]
+    out = []
+    for row in rows:
+        if len(row) <= max(ca, cb or 0, cl if cl >= 0 else 0):
+            continue
+        out.append(GlueExample(row[ca], row[cb] if cb is not None else None,
+                               row[cl]))
+    return _encode_labels(out, info)
+
+
+def _encode_labels(examples: List[GlueExample], info: dict):
+    labels = info["labels"]
+    for e in examples:
+        if labels is None:
+            e.label = float(e.label)
+        elif not isinstance(e.label, int):
+            e.label = labels.index(str(e.label))
+    return examples
+
+
+def encode_glue_batch(tokenizer, examples: Sequence[GlueExample],
+                      max_length: int) -> Dict[str, np.ndarray]:
+    enc = tokenizer(
+        [e.text_a for e in examples],
+        [e.text_b for e in examples] if examples[0].text_b is not None
+        else None,
+        padding="max_length", truncation=True, max_length=max_length)
+    batch = {k: np.asarray(v, np.int32) for k, v in enc.items()}
+    batch["labels"] = np.asarray([e.label for e in examples])
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# ImageNet folder pipeline (replaces the DALI GPU pipeline)
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def model_input_size(model_name: str) -> Tuple[int, int]:
+    """(resize, crop) per model — mirrors the DALI loader's model-specific
+    sizes (ant ImageNet/dataloader.py:143-153)."""
+    name = model_name.lower()
+    if "inception" in name:
+        return 342, 299
+    return 256, 224
+
+
+def list_imagefolder(root: str) -> Tuple[List[str], List[int], List[str]]:
+    """ImageFolder layout: root/<class>/<img>. Classes sorted by name (the
+    torchvision convention, so labels match torchvision checkpoints)."""
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    paths, labels = [], []
+    for i, c in enumerate(classes):
+        cdir = os.path.join(root, c)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(
+                    (".jpg", ".jpeg", ".png", ".bmp", ".webp")):
+                paths.append(os.path.join(cdir, fname))
+                labels.append(i)
+    return paths, labels, classes
+
+
+def load_image(path: str, resize: int, crop: int) -> np.ndarray:
+    """Eval transform: shorter-side resize -> center crop -> normalize.
+    Returns HWC float32."""
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    if w < h:
+        nw, nh = resize, int(round(h * resize / w))
+    else:
+        nw, nh = int(round(w * resize / h)), resize
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left = (nw - crop) // 2
+    top = (nh - crop) // 2
+    img = img.crop((left, top, left + crop, top + crop))
+    x = np.asarray(img, np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def imagefolder_batches(root: str, batch_size: int, model_name: str = "",
+                        shard: Tuple[int, int] = (0, 1),
+                        limit: Optional[int] = None):
+    """Yield (images NHWC f32, labels i32) eval batches, sharded
+    ``shard=(process_index, process_count)`` like the DALI per-rank shards."""
+    resize, crop = model_input_size(model_name)
+    paths, labels, _ = list_imagefolder(root)
+    idx = np.arange(len(paths))[shard[0]::shard[1]]
+    if limit:
+        idx = idx[:limit]
+    for i in range(0, len(idx), batch_size):
+        chunk = idx[i:i + batch_size]
+        imgs = np.stack([load_image(paths[j], resize, crop) for j in chunk])
+        yield imgs, np.asarray([labels[j] for j in chunk], np.int32)
+
+
+def synthetic_image_batches(batch_size: int, n_batches: int,
+                            crop: int = 224, num_classes: int = 1000,
+                            seed: int = 0):
+    """Deterministic fake data for smoke tests / calibration dry-runs."""
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        yield (rng.normal(size=(batch_size, crop, crop, 3)).astype(
+            np.float32),
+            rng.integers(0, num_classes, batch_size).astype(np.int32))

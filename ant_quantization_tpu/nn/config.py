@@ -29,6 +29,7 @@ class QuantConfig:
     a_low: int = 75
     a_up: int = 150
     no_outlier: bool = False         # OliVe: disable OVP
+    percent: float = 1.0             # GOBO outlier-mode percentile [0,1]
     enabled: bool = True             # master switch (enable_quantization)
     quantize_input: bool = True      # disable_input_quantization
     compute_dtype: Any = jnp.float32  # matmul dtype after fake-quant
@@ -46,7 +47,8 @@ class QuantConfig:
             family=self.family, w_low=self.w_low, w_up=self.w_up,
             a_low=self.a_low, a_up=self.a_up, scan_step=self.scan_step,
             no_outlier=self.no_outlier, channel_axis=channel_axis,
-            pair_axis=pair_axis, enabled=self.enabled)
+            pair_axis=pair_axis, percent=self.percent,
+            enabled=self.enabled)
 
     def input_site(self, pair_axis: int = -1) -> SiteConfig:
         return SiteConfig(
@@ -54,6 +56,7 @@ class QuantConfig:
             family=self.family, w_low=self.w_low, w_up=self.w_up,
             a_low=self.a_low, a_up=self.a_up, scan_step=self.scan_step,
             no_outlier=self.no_outlier, pair_axis=pair_axis,
+            percent=self.percent,
             enabled=self.enabled and self.quantize_input)
 
 

@@ -23,6 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native perfmodel libraries once if missing (fresh checkouts).
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+if not os.path.exists(os.path.join(_CSRC, "libtileopt.so")):
+    import subprocess
+    subprocess.run(["make", "-C", _CSRC], check=False, capture_output=True)
+
 
 @pytest.fixture(scope="session")
 def devices():

@@ -47,7 +47,7 @@ def test_resnet18_quantized_forward():
 def test_resnet50_param_count():
     m = ResNet(resnet50_config(), FP)
     x = jnp.zeros((1, 32, 32, 3))
-    variables = m.init(jax.random.PRNGKey(0), x)
+    variables = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
     n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
     nb = sum(p.size for p in
              jax.tree_util.tree_leaves(variables["batch_stats"]))
@@ -109,22 +109,24 @@ def test_resnet_importer_roundtrip():
 
 
 def test_vgg16_and_alexnet_shapes():
+    # eval_shape: abstract init + forward, no FLOPs (224^2 CPU convs are
+    # too slow for the suite; numerics are covered by the resnet tests)
     for cls, n_params in ((VGG16, 138_357_544), (AlexNet, 61_100_840)):
         m = cls(FP)
         x = jnp.zeros((1, 224, 224, 3))
-        variables = m.init(jax.random.PRNGKey(0), x)
+        variables = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
         n = sum(p.size for p in
                 jax.tree_util.tree_leaves(variables["params"]))
         assert n == n_params, (cls.__name__, n)
-        y = m.apply(variables, x)
+        y = jax.eval_shape(m.apply, variables, x)
         assert y.shape == (1, 1000)
 
 
 def test_vit_b16_param_count():
     m = ViT(vit_b_16_config(), FP)
     x = jnp.zeros((1, 224, 224, 3))
-    variables = m.init(jax.random.PRNGKey(0), x)
+    variables = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
     n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
     assert n == 86_567_656  # torchvision vit_b_16
-    y = m.apply(variables, x)
+    y = jax.eval_shape(m.apply, variables, x)
     assert y.shape == (1, 1000)

@@ -1,0 +1,118 @@
+"""Harness layer: metrics vs sklearn/scipy oracles, data pipelines,
+QA post-processing, checkpoint round-trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ant_quantization_tpu.harness import data as D
+from ant_quantization_tpu.harness import metrics as M
+from ant_quantization_tpu.harness import qa_utils as Q
+
+
+def test_mcc_f1_match_sklearn(rng):
+    from sklearn.metrics import f1_score, matthews_corrcoef
+    for _ in range(5):
+        y = rng.integers(0, 2, 200)
+        p = rng.integers(0, 2, 200)
+        assert M.matthews_corrcoef(p, y) == pytest.approx(
+            matthews_corrcoef(y, p), abs=1e-9)
+        assert M.f1_binary(p, y) == pytest.approx(
+            f1_score(y, p), abs=1e-9)
+
+
+def test_pearson_spearman_match_scipy(rng):
+    from scipy.stats import pearsonr, spearmanr
+    x = rng.normal(size=100)
+    y = 0.5 * x + rng.normal(size=100)
+    # introduce ties to exercise average-rank handling
+    x[10:20] = x[10]
+    assert M.pearson(x, y) == pytest.approx(pearsonr(x, y)[0], abs=1e-9)
+    assert M.spearman(x, y) == pytest.approx(spearmanr(x, y)[0], abs=1e-9)
+
+
+def test_glue_task_metric_routing():
+    assert "mcc" in M.glue_compute_metrics("CoLA", [0, 1], [0, 1])
+    assert "acc" in M.glue_compute_metrics("sst-2", [0, 1], [0, 1])
+    assert "f1" in M.glue_compute_metrics("mrpc", [0, 1], [0, 1])
+    assert "pearson" in M.glue_compute_metrics("sts-b", [0.1, 0.9],
+                                               [0.0, 1.0])
+
+
+def test_squad_metrics():
+    preds = {"a": "the cat", "b": "dog", "c": ""}
+    refs = {"a": ["cat"], "b": ["a cat"], "c": ["unanswerable gold"]}
+    m = M.squad_metrics(preds, refs, no_answer_ids=["c"])
+    # a: "the" is an article -> normalized match; b: no overlap; c: correct
+    assert m["exact_match"] == pytest.approx(100 * 2 / 3)
+    assert m["f1"] == pytest.approx(100 * 2 / 3)
+
+
+def test_lm_blocks_group_texts():
+    blocks = D.lm_blocks(np.arange(25), 8)
+    assert blocks.shape == (3, 8)          # remainder (1 token) dropped
+    np.testing.assert_array_equal(blocks[0], np.arange(8))
+
+
+def test_glue_tsv_loading(tmp_path):
+    # cola layout: no header, label col 1, text col 3
+    d = tmp_path / "CoLA"
+    d.mkdir()
+    (d / "dev.tsv").write_text(
+        "gj04\t1\t*\tThe cat sat.\ngj04\t0\t\tBad sentence the.\n")
+    ex = D.load_glue_split(str(d), "cola", "dev")
+    assert len(ex) == 2
+    assert ex[0].text_a == "The cat sat." and ex[0].label == 1
+    assert ex[1].label == 0
+
+
+def test_imagefolder_listing(tmp_path):
+    from PIL import Image
+    for cls in ("class_b", "class_a"):
+        (tmp_path / cls).mkdir()
+        Image.new("RGB", (40, 30)).save(tmp_path / cls / "x.jpg")
+    paths, labels, classes = D.list_imagefolder(str(tmp_path))
+    assert classes == ["class_a", "class_b"]   # sorted -> torchvision order
+    assert labels == [0, 1]
+    x = D.load_image(paths[0], resize=32, crop=24)
+    assert x.shape == (24, 24, 3) and x.dtype == np.float32
+
+
+def test_qa_postprocess_span_selection():
+    ex = [{"id": "q1", "question": "?", "context": "Paris is in France.",
+           "answers": ["Paris"], "is_impossible": False}]
+    # one feature, 6 tokens; context tokens at 1..4 with char offsets
+    offsets = [None, (0, 5), (6, 8), (9, 11), (12, 18), None]
+    feats = [{"example_id": "q1", "offset_mapping": offsets}]
+    s = np.full((1, 6), -10.0)
+    e = np.full((1, 6), -10.0)
+    s[0, 1] = 5.0   # start at "Paris"
+    e[0, 1] = 4.0   # end at "Paris"
+    e[0, 4] = 2.0
+    preds = Q.postprocess_predictions(ex, feats, s, e)
+    assert preds["q1"] == "Paris"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from ant_quantization_tpu.calibrate.spec import placeholder_state
+    from ant_quantization_tpu.harness import checkpoint as C
+
+    tree = {"params": {"w": np.arange(6.0).reshape(2, 3)},
+            "quant": {"layer": {"weight_q": placeholder_state(3)}}}
+    C.save_checkpoint(str(tmp_path / "ck"), tree, step=2)
+    assert C.latest_step(str(tmp_path / "ck")) == 2
+    back = C.restore_checkpoint(str(tmp_path / "ck"), template=tree)
+    np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
+    st = back["quant"]["layer"]["weight_q"]
+    assert st.grid.shape == (256,) and int(st.bit) == 0
+
+
+def test_zoo_presets():
+    from ant_quantization_tpu.harness import zoo
+    from ant_quantization_tpu.nn.config import FP32
+    model, cfg, params = zoo.get_lm("opt:125m", FP32)
+    assert cfg.d_ff == 3072 and params is None
+    model, conv, v = zoo.get_image_model("resnet18", FP32)
+    assert v is None
