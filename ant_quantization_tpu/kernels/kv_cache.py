@@ -43,10 +43,21 @@ def append_kv(cache: QuantKV, k: jax.Array, v: jax.Array,
               index) -> QuantKV:
     """Write new (B, T, H, D) keys/values at position ``index``.
 
+    ``index`` may be a scalar (shared write position — prefill/batched
+    decode) or a (B,) vector of per-sequence positions (continuous
+    batching, where every slot is at a different fill depth).
+
     If the cache buffers are int8 the new entries are quantized; otherwise
     they are stored raw (bf16/f32 baseline cache)."""
-    upd = lambda buf, val: jax.lax.dynamic_update_slice(
-        buf, val.astype(buf.dtype), (0, index) + (0,) * (buf.ndim - 2))
+    index = jnp.asarray(index)
+    if index.ndim == 0:
+        upd = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val.astype(buf.dtype), (0, index) + (0,) * (buf.ndim - 2))
+    else:
+        def upd(buf, val):
+            row = lambda b, v, i: jax.lax.dynamic_update_slice(
+                b, v.astype(b.dtype), (i,) + (0,) * (b.ndim - 1))
+            return jax.vmap(row)(buf, val, index)
     if cache.k.dtype == jnp.int8:
         kq, ks = _quantize(k)
         vq, vs = _quantize(v)

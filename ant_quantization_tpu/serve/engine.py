@@ -154,7 +154,10 @@ def _act(name, x):
 
 
 def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
-    """q (B, T, H, D) against the (possibly INT8) cache."""
+    """q (B, T, H, D) against the (possibly INT8) cache.
+
+    ``pos0`` is a (B,) per-sequence write position (continuous batching) —
+    scalar positions are broadcast by the caller."""
     c = cfg.lm
     if cfg.kv_int8:
         k, v = dequant_kv(kv, cfg.dtype)
@@ -163,12 +166,13 @@ def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
     S = k.shape[1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32)) / np.sqrt(c.head_dim)
-    q_pos = pos0 + jnp.arange(T)[:, None]
-    k_pos = jnp.arange(S)[None, :]
+    q_pos = pos0[:, None] + jnp.arange(T)[None, :]          # (B, T)
+    k_pos = jnp.arange(S)                                    # (S,)
+    rel = k_pos[None, None, :] - q_pos[:, :, None]           # (B, T, S)
     if alibi is not None:
         scores = scores + (alibi[None, :, None, None]
-                           * (k_pos - q_pos)[None, None].astype(jnp.float32))
-    mask = (k_pos <= q_pos)[None, None]
+                           * rel[:, None].astype(jnp.float32))
+    mask = (rel <= 0)[:, None]                               # (B, 1, T, S)
     scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     attn = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(cfg.dtype))
@@ -178,14 +182,20 @@ def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
 def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
             kv: Tuple, pos0) -> Tuple[jax.Array, Tuple]:
     """Shared prefill/decode forward: writes new K/V at pos0, attends over
-    the full cache. kv is a stacked-over-layers QuantKV (leaves (L, ...))."""
+    the full cache. kv is a stacked-over-layers QuantKV (leaves (L, ...)).
+
+    ``pos0``: scalar fill position, or a (B,) vector of per-sequence
+    positions for continuous batching."""
     c = cfg.lm
     B, T = ids.shape
+    pos_in = jnp.asarray(pos0)  # scalar keeps the fast contiguous KV write
+    pos0 = jnp.broadcast_to(pos_in, (B,))
+    positions = pos0[:, None] + jnp.arange(T)[None, :]      # (B, T)
     x = ep["top"]["wte"][ids]
     if c.positions == "learned":
-        x = x + ep["top"]["wpe"][pos0 + jnp.arange(T)]
+        x = x + ep["top"]["wpe"][positions]
     elif c.positions == "learned_offset2":
-        x = x + ep["top"]["wpe"][pos0 + jnp.arange(T) + 2]
+        x = x + ep["top"]["wpe"][positions + 2]
     if "embed_ln" in ep["top"]:
         x = _ln(x, ep["top"]["embed_ln"], c.ln_eps)
     alibi = (jnp.asarray(alibi_slopes(c.n_heads), jnp.float32)
@@ -206,7 +216,7 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
         sh = (B, T, c.n_heads, c.head_dim)
         qh, kh, vh = qh.reshape(sh), kh.reshape(sh), vh.reshape(sh)
         kv_l = append_kv(kv_l, kh.astype(jnp.float32),
-                         vh.astype(jnp.float32), pos0)
+                         vh.astype(jnp.float32), pos_in)
         a = _attention(cfg, qh, kv_l, pos0, T, alibi)
         a = a.reshape(B * T, c.d_model)
         x = x + _site_matmul(cfg, a, lay["out"]).reshape(B, T, c.d_model)
