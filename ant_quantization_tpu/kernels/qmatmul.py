@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.snap import snap_codes
 
-__all__ = ["pack_w4", "quantized_matmul_w4", "dequant_w4_reference"]
+__all__ = ["pack_w4", "quantized_matmul_w4", "dequant_w4_reference",
+           "int8_codebook", "quantize_weights_w4_i8"]
 
 
 def pack_w4(codes: jax.Array) -> jax.Array:
@@ -166,6 +167,50 @@ def dequant_w4_reference(packed: jax.Array, scale: jax.Array,
     g = grid.astype(jnp.float32)
     w = jnp.concatenate([g[lo], g[hi]], axis=0)
     return w * jnp.broadcast_to(scale.reshape(-1), (w.shape[1],))[None, :]
+
+
+def int8_codebook(grid16) -> tuple[np.ndarray, float, bool]:
+    """Exact int8 restatement of a 16-entry codebook.
+
+    Every ANT/OliVe 4-bit grid (int/pot/float/flint, quant_modules.py:85-278)
+    is, after `convert_tensor`'s max=10.0 normalization, a set of dyadic
+    rationals times a common factor — so there is an integer D <= 127 with
+    ``grid * D / max|grid|`` exactly integral. Returns ``(q16 int8, unit,
+    exact)`` with ``grid[i] == q16[i] * unit`` (unit = vmax/D). The serving
+    engine stores weights as ``q16[code]`` int8 *values* — 2x less HBM than
+    bf16 and zero per-element decode work, feeding the int8 MXU directly —
+    rather than 4-bit indices whose 16-way select-tree decode is VPU-bound.
+    Falls back to D=127 rounding (<=0.5% value error) for grids with no
+    exact representation.
+    """
+    g = np.asarray(grid16, np.float64).reshape(-1)
+    vmax = float(np.max(np.abs(g)))
+    if vmax == 0.0:
+        return np.zeros(g.shape, np.int8), 1.0, True
+    u = g / vmax
+    for d in range(1, 128):
+        q = u * d
+        if float(np.max(np.abs(q - np.round(q)))) < 1e-6:
+            return np.round(q).astype(np.int8), vmax / d, True
+    return np.round(u * 127).astype(np.int8), vmax / 127, False
+
+
+def quantize_weights_w4_i8(w: jax.Array, grid: jax.Array,
+                           alpha: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Quantize a (K, N) weight onto a 16-entry grid, storing the int8
+    *values* of the grid entries (see int8_codebook); returns
+    ``(w_i8 (K, N) int8, oscale (N,) f32)`` with the dequantized weight
+    equal to ``w_i8 * oscale`` — identical numerics to the fake-quant path
+    when the grid is exactly int8-representable (always, for 4-bit grids).
+    """
+    g16 = np.asarray(grid).reshape(-1)[:16]
+    q16, unit, _ = int8_codebook(g16)
+    vmax = float(np.max(np.abs(g16)))
+    scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1), (w.shape[1],))
+             / vmax).astype(jnp.float32)
+    codes = snap_codes(w / scale[None, :], jnp.asarray(g16, jnp.float32))
+    w_i8 = jnp.asarray(q16)[codes]
+    return w_i8, scale * np.float32(unit)
 
 
 def quantize_weights_w4(w: jax.Array, grid: jax.Array,

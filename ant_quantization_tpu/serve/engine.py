@@ -9,11 +9,21 @@ the layer loop is a single ``lax.scan`` — one compiled block regardless of
 depth, which keeps compile times flat from GPT-2-small to OPT-6.7B.
 
 Weight modes:
-  "w4"   packed 4-bit codes + per-channel scale + 16-entry codebook/layer
-  "bf16" dense baseline (the vs_baseline reference for bench.py)
+  "w4"     4-bit-quantized weights stored as the exact *int8 values* of the
+           16-entry codebook (kernels/qmatmul.py:int8_codebook): 2x less
+           HBM traffic than bf16 with zero per-element decode work, and —
+           with activation quant on — an int8 x int8 MXU matmul. Numerics
+           identical to "w4pack" / the fake-quant path (4-bit grids are
+           exactly int8-representable).
+  "w4pack" 4-bit codes packed two-per-byte, decoded in-register by the
+           fused Pallas matmul: 4x less HBM than bf16, but the 16-way
+           select-tree decode is VPU-bound — use when HBM capacity, not
+           bandwidth, is the constraint.
+  "bf16"   dense baseline (the vs_baseline reference for bench.py)
 
 Activation quantization (A4/A8) applies the calibrated per-tensor grids
-with a midpoint-threshold snap (pure VPU compares, no gathers).
+with a midpoint-threshold snap (pure VPU compares, no gathers); under
+"w4" the snap targets the int8-domain codebook so the matmul runs int8.
 """
 
 from __future__ import annotations
@@ -26,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.kv_cache import QuantKV, append_kv, dequant_kv, init_kv
-from ..kernels.qmatmul import pack_w4, quantized_matmul_w4
+from ..kernels.qmatmul import (int8_codebook, pack_w4, quantized_matmul_w4,
+                               quantize_weights_w4_i8)
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
 from ..ops.snap import snap_codes
@@ -36,7 +47,7 @@ from ..ops.snap import snap_codes
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     lm: LMConfig
-    weight_mode: str = "w4"        # "w4" | "bf16"
+    weight_mode: str = "w4"        # "w4" | "w4pack" | "bf16"
     act_bits: int = 0              # 0 = no activation quant, else 4/8
     kv_int8: bool = True
     max_seq: int = 2048
@@ -97,6 +108,13 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
             if cfg.weight_mode == "w4":
                 qs = (q["attn"][site]["weight_q"] if parent
                       else q[site]["weight_q"])
+                w_i8, oscale = quantize_weights_w4_i8(
+                    jnp.asarray(kernel), jnp.asarray(qs.grid),
+                    jnp.asarray(qs.alpha))
+                entry.update(w_i8=w_i8, oscale=oscale)
+            elif cfg.weight_mode == "w4pack":
+                qs = (q["attn"][site]["weight_q"] if parent
+                      else q[site]["weight_q"])
                 grid16 = jnp.asarray(qs.grid)[:16]
                 alpha = jnp.asarray(qs.alpha).reshape(-1)
                 scale = (alpha / jnp.max(grid16)).astype(jnp.float32)
@@ -109,8 +127,20 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
             if cfg.act_bits and q is not None:
                 aq = (q["attn"][site]["input_q"] if parent
                       else q[site]["input_q"])
-                entry.update(a_grid=jnp.asarray(aq.grid)[:2 ** cfg.act_bits],
+                a_grid = np.asarray(aq.grid).reshape(-1)[:2 ** cfg.act_bits]
+                entry.update(a_grid=jnp.asarray(a_grid),
                              a_alpha=jnp.asarray(aq.alpha).reshape(()))
+                if cfg.weight_mode == "w4":
+                    a_q16, a_unit, a_exact = int8_codebook(a_grid)
+                    if a_exact:
+                        # int8 MXU path; inexact grids (unsigned pot/float,
+                        # >127:1 range) keep the f32 fake-quant fallback
+                        a_vmax = float(np.max(np.abs(a_grid)))
+                        entry.update(
+                            a_q=jnp.asarray(a_q16),
+                            a_scale=(entry["a_alpha"] / a_vmax
+                                     * np.float32(a_unit)
+                                     ).astype(jnp.float32))
             lay[site] = entry
         layers.append(lay)
 
@@ -125,9 +155,32 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
 
 
 def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict) -> jax.Array:
+    if cfg.weight_mode == "w4":
+        if cfg.act_bits and "a_q" in site:
+            # snap activations straight into the int8 codebook domain
+            # (linear rescale preserves nearest/ties) -> int8 MXU matmul
+            xq = _midpoint_snap(
+                x2d.astype(jnp.float32) / site["a_scale"],
+                site["a_q"].astype(jnp.float32)).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, site["w_i8"], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32)
+                 * (site["a_scale"] * site["oscale"])[None, :])
+        else:
+            if cfg.act_bits and "a_grid" in site:   # non-int8-exact grid
+                x2d = quantize_activation(x2d, site["a_grid"],
+                                          site["a_alpha"])
+            mm_dtype = jnp.float32 if cfg.dtype == jnp.float32 \
+                else jnp.bfloat16
+            y = jnp.dot(x2d.astype(mm_dtype),
+                        site["w_i8"].astype(mm_dtype),
+                        preferred_element_type=jnp.float32)
+            y = y * site["oscale"][None, :]
+        return (y + site["bias"]).astype(cfg.dtype)
     if cfg.act_bits and "a_grid" in site:
         x2d = quantize_activation(x2d, site["a_grid"], site["a_alpha"])
-    if cfg.weight_mode == "w4":
+    if cfg.weight_mode == "w4pack":
         y = quantized_matmul_w4(x2d.astype(jnp.float32), site["packed"],
                                 site["scale"], site["grid"],
                                 block_n=cfg.block_n,

@@ -54,8 +54,12 @@ def _rand_engine_params(cfg: eng.EngineConfig, key):
     sites = {"q": (c.d_model, c.d_model), "k": (c.d_model, c.d_model),
              "v": (c.d_model, c.d_model), "out": (c.d_model, c.d_model),
              "fc_in": (c.d_model, c.d_ff), "fc_out": (c.d_ff, c.d_model)}
-    grid16 = jnp.asarray(cb.ant_grid("flint", 4, True))[:16]
-    agrid = jnp.asarray(cb.ant_grid("flint", 4, False))[:16]
+    wgrid = cb.ant_grid("flint", 4, True)[:16]
+    agrid = cb.ant_grid("flint", 4, False)[:16]
+    from ant_quantization_tpu.kernels.qmatmul import int8_codebook
+    wq16, w_unit, _ = int8_codebook(wgrid)
+    aq16, a_unit, _ = int8_codebook(agrid)
+    a_vmax = float(np.max(np.abs(agrid)))
     L = c.n_layers
 
     @jax.jit
@@ -65,17 +69,23 @@ def _rand_engine_params(cfg: eng.EngineConfig, key):
         for i, (name, (K, N)) in enumerate(sites.items()):
             entry = {"bias": jnp.zeros((L, N), jnp.float32)}
             if cfg.weight_mode == "w4":
-                entry["packed"] = jax.random.randint(
-                    ks[i], (L, K // 2, N), 0, 256, jnp.int32).astype(jnp.uint8)
-                entry["scale"] = jnp.full((L, N), 2e-3, jnp.float32)
-                entry["grid"] = jnp.broadcast_to(grid16, (L, 16))
+                # values irrelevant to perf: any int8 in codebook range
+                entry["w_i8"] = jax.random.randint(
+                    ks[i], (L, K, N), -64, 64, jnp.int8)
+                entry["oscale"] = jnp.full(
+                    (L, N), 2e-3 * w_unit, jnp.float32)
             else:
                 entry["kernel"] = (
                     jax.random.normal(ks[i], (L, K, N), jnp.bfloat16)
                     * np.float32(1.0 / np.sqrt(K)))
             if cfg.act_bits:
-                entry["a_grid"] = jnp.broadcast_to(agrid, (L, 16))
+                entry["a_grid"] = jnp.broadcast_to(
+                    jnp.asarray(agrid), (L, 16))
                 entry["a_alpha"] = jnp.full((L,), 3.0, jnp.float32)
+                if cfg.weight_mode == "w4":
+                    entry["a_q"] = jnp.broadcast_to(jnp.asarray(aq16), (L, 16))
+                    entry["a_scale"] = jnp.full(
+                        (L,), 3.0 / a_vmax * a_unit, jnp.float32)
             layers[name] = entry
         ln = lambda: {"scale": jnp.ones((L, c.d_model), jnp.float32),
                       "bias": jnp.zeros((L, c.d_model), jnp.float32)}

@@ -114,3 +114,24 @@ def test_engine_int8_kv_noise_is_small():
     got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
     rel = float(jnp.abs(got - want).mean() / jnp.abs(want).mean())
     assert rel < 0.05, rel
+
+
+def test_engine_w4a4_int8_matmul_matches_fake_quant_model():
+    """W4 + A4 engine (int8 x int8 MXU path) == fake-quant model logits."""
+    cfg = _tiny()
+    qcfg = QuantConfig(mode="flint", family="ant",
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    model, ids, variables = _setup(cfg, qcfg)
+    _, upd = model.apply(variables, ids, mutable=["quant"])
+    want = model.apply({"params": variables["params"],
+                        "quant": upd["quant"]}, ids)
+
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="w4", act_bits=4,
+                            kv_int8=False, max_seq=32, dtype=jnp.float32,
+                            interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"], upd["quant"])
+    # the int8 path must actually be engaged (flint grids are int8-exact)
+    assert "a_q" in jax.tree_util.tree_map(lambda x: x, ep["layers"]["qkv"])
+    got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)

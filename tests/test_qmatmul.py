@@ -67,3 +67,39 @@ def test_quantize_weights_matches_fake_quant(rng):
     want = x @ wq
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_int8_codebook_exact_for_all_4bit_grids():
+    """Every ANT/OliVe 4-bit grid is exactly int8-representable (the
+    dyadic-rational argument in kernels/qmatmul.py:int8_codebook)."""
+    from ant_quantization_tpu.kernels.qmatmul import int8_codebook
+    grids = []
+    for mode in ("int", "pot", "apot", "float", "flint"):
+        grids.append(cb.ant_grid(mode, 4, True))
+    # unsigned pot/float span >127:1 and are NOT int8-exact (the engine
+    # falls back to fake-quant for such activation grids)
+    for mode in ("int", "apot", "flint"):
+        grids.append(cb.ant_grid(mode, 4, False))
+    for mode in ("int", "flint"):
+        for signed in (True, False):
+            grids.append(cb.olive_grid(mode, 4, signed))
+    for g in grids:
+        q16, unit, exact = int8_codebook(np.asarray(g)[:16])
+        assert exact
+        # grids are f32 arrays: representation error ~1e-7 relative
+        np.testing.assert_allclose(q16.astype(np.float64) * unit,
+                                   np.asarray(g)[:16], rtol=1e-5, atol=1e-6)
+
+
+def test_quantize_weights_w4_i8_matches_fake_quant(rng):
+    from ant_quantization_tpu.kernels.qmatmul import quantize_weights_w4_i8
+    K, N = 128, 64
+    grid = jnp.asarray(cb.ant_grid("flint", 4, True))[:16]
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(1.0, 3.0, size=(N,)).astype(np.float32))
+    w_i8, oscale = quantize_weights_w4_i8(w, grid, alpha)
+    assert w_i8.dtype == jnp.int8
+    want = ant_fake_quant(w, grid, alpha, channel_axis=1)
+    np.testing.assert_allclose(
+        np.asarray(w_i8, np.float32) * np.asarray(oscale)[None, :],
+        np.asarray(want), rtol=1e-5, atol=1e-5)
