@@ -84,6 +84,32 @@ def test_published_hyperparameters():
         os.path.join(REPO, "recipes", "ant_bert_glue.toml"))
     assert glue["defaults"]["w_low"] == 80
     assert glue["defaults"]["lr"] == 2e-5
+    # ANT4-8 promotion counts come from eval_{cola,sst2,mnli}.sh: n8 is 10
+    # for CoLA, 6 for MNLI, and absent (no promotion) for SST-2.
+    gruns = {r["name"]: r for r in glue["run"]}
+    assert gruns["cola_ANT4-8"]["n8"] == 10
+    assert gruns["mnli_ANT4-8"]["n8"] == 6
+    assert "n8" not in gruns["sst2_ANT4-8"]
+    # eval scripts run all six columns per task: FIP + FIP-F present.
+    for task in ("cola", "sst2", "mnli"):
+        assert gruns[f"{task}_FIP"]["mode"] == "ant-int-pot-float"
+        assert gruns[f"{task}_FIP-F"]["mode"] == "ant-int-pot-float-flint"
+
+    # quant_6bit_ptq.sh sets only -wl/-al=100; wu/au stay at default 150.
+    ptq6 = run_recipe.load_recipe(
+        os.path.join(REPO, "recipes", "ant_imagenet_ptq6.toml"))
+    assert ptq6["defaults"]["w_low"] == 100 and ptq6["defaults"]["w_up"] == 150
+    assert ptq6["defaults"]["a_low"] == 100 and ptq6["defaults"]["a_up"] == 150
+
+
+def test_per_run_set_overrides():
+    sets = run_recipe.parse_sets(["*_squad:data=/d/v1.json",
+                                  "*_squad2:data=/d/v2.json"])
+    base = {"tool": "squad_run"}
+    c1 = run_recipe.build_command({"name": "bert_base_squad"}, base, [], sets)
+    c2 = run_recipe.build_command({"name": "bert_base_squad2"}, base, [], sets)
+    assert "/d/v1.json" in c1 and "/d/v2.json" not in c1
+    assert "/d/v2.json" in c2 and "/d/v1.json" not in c2
 
 
 def test_cli_dry_run_and_list():

@@ -14,7 +14,15 @@ Usage:
       --only resnet18_IP-F -- --train_dir /data/train --val_dir /data/val
 
 Everything after ``--`` is appended verbatim to each launched command
-(data paths, --limit, --output, ...).
+(data paths, --limit, --output, ...). When different runs in one recipe
+need different values for the same flag (e.g. olive_squad.toml mixes SQuAD
+v1.1 and v2.0 runs, which read different dev-set jsons), use the repeatable
+``--set 'GLOB:key=value'`` option instead, which applies only to runs whose
+name matches the glob:
+
+  python tools/run_recipe.py recipes/olive_squad.toml \
+      --set '*_squad:data=/data/dev-v1.1.json' \
+      --set '*_squad2:data=/data/dev-v2.0.json'
 """
 
 import argparse
@@ -37,8 +45,23 @@ def load_recipe(path: str) -> dict:
     return doc
 
 
-def build_command(run: dict, defaults: dict, extra: list) -> list:
+def parse_sets(pairs: list) -> list:
+    """Parse --set 'GLOB:key=value' strings into (glob, key, value)."""
+    out = []
+    for s in pairs:
+        head, sep, value = s.partition("=")
+        if not sep or ":" not in head:
+            raise SystemExit(f"--set {s!r}: expected GLOB:key=value")
+        glob, _, key = head.rpartition(":")
+        out.append((glob, key, value))
+    return out
+
+
+def build_command(run: dict, defaults: dict, extra: list, sets=()) -> list:
     merged = {**defaults, **run}
+    for glob, key, value in sets:
+        if fnmatch.fnmatch(run.get("name", ""), glob):
+            merged[key] = value
     tool = merged.get("tool")
     if not tool:
         raise SystemExit(f"run {run.get('name')}: no tool")
@@ -70,7 +93,12 @@ def main(argv=None):
                    help="print commands without executing")
     p.add_argument("--keep-going", action="store_true",
                    help="continue past failing runs")
+    p.add_argument("--set", action="append", default=[], dest="sets",
+                   metavar="GLOB:key=value",
+                   help="override/add a flag only for runs whose name "
+                        "matches GLOB (repeatable)")
     args = p.parse_args(argv)
+    sets = parse_sets(args.sets)
 
     doc = load_recipe(args.recipe)
     defaults = doc.get("defaults", {})
@@ -85,7 +113,7 @@ def main(argv=None):
 
     failed = []
     for r in runs:
-        cmd = build_command(r, defaults, extra)
+        cmd = build_command(r, defaults, extra, sets)
         print(f"[{r['name']}] " + " ".join(cmd), flush=True)
         if args.dry_run:
             continue
