@@ -116,9 +116,8 @@ def main():
 
     tokenizer = None
     if args.data_dir:
-        from transformers import AutoTokenizer
-        tokenizer = AutoTokenizer.from_pretrained(
-            args.tokenizer or args.weights)
+        from ant_quantization_tpu.harness.tokenization import load_tokenizer
+        tokenizer = load_tokenizer(args.tokenizer or args.weights)
 
     def train_batches(seed=None):
         if args.data_dir:

@@ -79,9 +79,8 @@ def main():
         args.model_family, args.bert_size, qcfg, head="qa",
         weights_path=args.weights)
 
-    from transformers import AutoTokenizer
-    tokenizer = AutoTokenizer.from_pretrained(
-        args.tokenizer or args.weights)
+    from ant_quantization_tpu.harness.tokenization import load_tokenizer
+    tokenizer = load_tokenizer(args.tokenizer or args.weights)
 
     examples = Q.load_squad_json(args.data)
     if args.max_examples:
