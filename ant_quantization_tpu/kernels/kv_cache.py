@@ -1,11 +1,15 @@
-"""INT8 KV-cache ops.
+"""INT8 KV-cache storage ops.
 
-The serving engine stores K/V as int8 codes with per-(batch, position,
-head) scales: 2x less HBM than bf16, 4x less than f32. Quantization is
-symmetric absmax over the head dim (the standard KV-cache INT8 recipe);
-append and attention-read are fused-friendly jnp ops that XLA vectorizes —
-a Pallas paged-attention variant can slot in later without changing the
-engine API.
+The serving engine stores K/V as int8 codes with per-(batch, head,
+position) scales: 2x less HBM than bf16, 4x less than f32. Quantization is
+symmetric absmax over the head dim (the standard KV-cache INT8 recipe).
+
+Layout is **(B, H, S, D)** — head-major, so the (S, D) slice a single
+attention head reads is contiguous and tile-aligned (D = TPU lane dim;
+S = int8 sublane multiple for real head dims). That is the layout the
+fused Pallas attention kernel (kernels/attention.py) streams per (b, h)
+grid step in one DMA, and it costs nothing at append time: the incoming
+(B, T, H, D) projections are tiny (T = 1 in decode) next to the cache.
 """
 
 from __future__ import annotations
@@ -19,15 +23,15 @@ __all__ = ["QuantKV", "init_kv", "append_kv", "dequant_kv"]
 
 
 class QuantKV(NamedTuple):
-    k: jax.Array        # (B, S, H, D) int8
-    v: jax.Array        # (B, S, H, D) int8
-    k_scale: jax.Array  # (B, S, H) f32
-    v_scale: jax.Array  # (B, S, H) f32
+    k: jax.Array        # (B, H, S, D) int8 (or bf16/f32 baseline)
+    v: jax.Array        # (B, H, S, D)
+    k_scale: jax.Array  # (B, H, S) f32
+    v_scale: jax.Array  # (B, H, S) f32
 
 
 def init_kv(batch: int, max_len: int, n_heads: int, head_dim: int) -> QuantKV:
-    z8 = jnp.zeros((batch, max_len, n_heads, head_dim), jnp.int8)
-    zs = jnp.zeros((batch, max_len, n_heads), jnp.float32)
+    z8 = jnp.zeros((batch, n_heads, max_len, head_dim), jnp.int8)
+    zs = jnp.zeros((batch, n_heads, max_len), jnp.float32)
     return QuantKV(z8, z8, zs, zs)
 
 
@@ -50,13 +54,17 @@ def append_kv(cache: QuantKV, k: jax.Array, v: jax.Array,
     If the cache buffers are int8 the new entries are quantized; otherwise
     they are stored raw (bf16/f32 baseline cache)."""
     index = jnp.asarray(index)
+    k = jnp.transpose(k, (0, 2, 1, 3))   # -> (B, H, T, D), cache layout
+    v = jnp.transpose(v, (0, 2, 1, 3))
     if index.ndim == 0:
+        # buffers are (B, H, S, ...): S is axis 2 for codes, 2 for scales
         upd = lambda buf, val: jax.lax.dynamic_update_slice(
-            buf, val.astype(buf.dtype), (0, index) + (0,) * (buf.ndim - 2))
+            buf, val.astype(buf.dtype),
+            (0, 0, index) + (0,) * (buf.ndim - 3))
     else:
         def upd(buf, val):
-            row = lambda b, v, i: jax.lax.dynamic_update_slice(
-                b, v.astype(b.dtype), (i,) + (0,) * (b.ndim - 1))
+            row = lambda b, w, i: jax.lax.dynamic_update_slice(
+                b, w.astype(b.dtype), (0, i) + (0,) * (b.ndim - 2))
             return jax.vmap(row)(buf, val, index)
     if cache.k.dtype == jnp.int8:
         kq, ks = _quantize(k)
@@ -68,6 +76,8 @@ def append_kv(cache: QuantKV, k: jax.Array, v: jax.Array,
 
 
 def dequant_kv(cache: QuantKV, dtype=jnp.bfloat16):
+    """Materializing fallback (tests / non-Pallas paths): the serving
+    engine instead reads the codes directly via kernels/attention.py."""
     k = cache.k.astype(dtype) * cache.k_scale[..., None].astype(dtype)
     v = cache.v.astype(dtype) * cache.v_scale[..., None].astype(dtype)
     return k, v

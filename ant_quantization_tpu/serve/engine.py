@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels.kv_cache import QuantKV, append_kv, dequant_kv, init_kv
+from ..kernels.attention import int8_kv_attention
+from ..kernels.kv_cache import QuantKV, append_kv, init_kv
 from ..kernels.qmatmul import (int8_codebook, pack_w4, quantized_matmul_w4,
                                quantize_weights_w4_i8)
 from ..models.transformer_lm import LMConfig, alibi_slopes
@@ -207,17 +208,22 @@ def _act(name, x):
 
 
 def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
-    """q (B, T, H, D) against the (possibly INT8) cache.
+    """q (B, T, H, D) against the (B, H, S, D) cache -> (B, T, H, D).
 
     ``pos0`` is a (B,) per-sequence write position (continuous batching) —
-    scalar positions are broadcast by the caller."""
+    scalar positions are broadcast by the caller. INT8 caches go through
+    the fused Pallas kernel (kernels/attention.py), which dequantizes
+    in-register — one int8-width read of the cache, no materialized copy."""
     c = cfg.lm
+    qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
     if cfg.kv_int8:
-        k, v = dequant_kv(kv, cfg.dtype)
-    else:
-        k, v = kv.k, kv.v
-    S = k.shape[1]
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+        out = int8_kv_attention(qh, kv.k, kv.v, kv.k_scale, kv.v_scale,
+                                pos0, alibi, out_dtype=cfg.dtype,
+                                interpret=cfg.interpret)
+        return jnp.transpose(out, (0, 2, 1, 3))
+    k, v = kv.k, kv.v                                        # (B, H, S, D)
+    S = k.shape[2]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh.astype(jnp.float32),
                         k.astype(jnp.float32)) / np.sqrt(c.head_dim)
     q_pos = pos0[:, None] + jnp.arange(T)[None, :]          # (B, T)
     k_pos = jnp.arange(S)                                    # (S,)
@@ -228,7 +234,7 @@ def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
     mask = (rel <= 0)[:, None]                               # (B, 1, T, S)
     scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     attn = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(cfg.dtype))
+    out = jnp.einsum("bhqk,bhkd->bqhd", attn, v.astype(cfg.dtype))
     return out
 
 

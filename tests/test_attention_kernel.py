@@ -1,0 +1,92 @@
+"""Fused INT8-KV attention kernel vs the jnp oracle (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ant_quantization_tpu.kernels.attention import (attention_oracle,
+                                                    int8_kv_attention)
+from ant_quantization_tpu.kernels.kv_cache import append_kv, init_kv
+
+
+def _rand_case(B=2, H=4, T=1, S=32, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.integers(-127, 128, (B, H, S, D)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (B, H, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (B, H, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (B, H, S)), jnp.float32)
+    return q, k, v, ks, vs
+
+
+@pytest.mark.parametrize("T,pos0", [(1, 7), (1, 0), (5, 3), (8, 24)])
+def test_kernel_matches_oracle(T, pos0):
+    q, k, v, ks, vs = _rand_case(T=T, seed=T)
+    p = jnp.full((2,), pos0, jnp.int32)
+    got = int8_kv_attention(q, k, v, ks, vs, p, out_dtype=jnp.float32,
+                            interpret=True)
+    want = attention_oracle(q, k, v, ks, vs, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_per_sequence_positions():
+    """Continuous batching: each sequence at a different fill depth."""
+    q, k, v, ks, vs = _rand_case(B=3, seed=3)
+    p = jnp.asarray([0, 9, 31], jnp.int32)
+    got = int8_kv_attention(q[:3] if q.shape[0] >= 3 else q, k[:3], v[:3],
+                            ks[:3], vs[:3], p, out_dtype=jnp.float32,
+                            interpret=True)
+    want = attention_oracle(q[:3], k[:3], v[:3], ks[:3], vs[:3], p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_alibi():
+    q, k, v, ks, vs = _rand_case(T=4, seed=11)
+    slopes = jnp.asarray([0.5, 0.25, 0.125, 0.0625], jnp.float32)
+    p = jnp.asarray([5, 12], jnp.int32)
+    got = int8_kv_attention(q, k, v, ks, vs, p, slopes,
+                            out_dtype=jnp.float32, interpret=True)
+    want = attention_oracle(q, k, v, ks, vs, p, slopes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_masks_unwritten_tail():
+    """Positions past pos0 (garbage/zeros in a fresh cache) contribute 0."""
+    q, k, v, ks, vs = _rand_case(seed=5)
+    p = jnp.asarray([3, 3], jnp.int32)
+    full = int8_kv_attention(q, k, v, ks, vs, p, out_dtype=jnp.float32,
+                             interpret=True)
+    # poison the tail; result must not change
+    k2 = k.at[:, :, 5:].set(99)
+    v2 = v.at[:, :, 5:].set(-99)
+    poisoned = int8_kv_attention(q, k2, v2, ks, vs, p,
+                                 out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(poisoned))
+
+
+def test_append_layout_roundtrip():
+    """append_kv writes (B, T, H, D) projections into the head-major cache
+    at scalar and per-sequence vector positions."""
+    B, H, S, D, T = 2, 3, 16, 8, 2
+    cache = init_kv(B, S, H, D)
+    rng = np.random.default_rng(0)
+    k_new = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+
+    c1 = append_kv(cache, k_new, v_new, 4)
+    deq = (c1.k.astype(jnp.float32)
+           * c1.k_scale[..., None])                     # (B, H, S, D)
+    got = np.asarray(deq[:, :, 4:4 + T]).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, np.asarray(k_new), rtol=0.02, atol=0.02)
+
+    idx = jnp.asarray([1, 9], jnp.int32)
+    c2 = append_kv(cache, k_new, v_new, idx)
+    deq2 = c2.v.astype(jnp.float32) * c2.v_scale[..., None]
+    for b, i in enumerate([1, 9]):
+        got = np.asarray(deq2[b, :, i:i + T]).transpose(1, 0, 2)
+        np.testing.assert_allclose(got, np.asarray(v_new[b]),
+                                   rtol=0.02, atol=0.02)
