@@ -216,12 +216,19 @@ def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
     in-register — one int8-width read of the cache, no materialized copy."""
     c = cfg.lm
     qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
-    if cfg.kv_int8:
+    if cfg.kv_int8 and T <= 16:
+        # decode / short continuation: fused kernel, int8-width cache read
         out = int8_kv_attention(qh, kv.k, kv.v, kv.k_scale, kv.v_scale,
                                 pos0, alibi, out_dtype=cfg.dtype,
                                 interpret=cfg.interpret)
         return jnp.transpose(out, (0, 2, 1, 3))
-    k, v = kv.k, kv.v                                        # (B, H, S, D)
+    if cfg.kv_int8:
+        # prefill: one-shot, compute-bound — the einsum path's dequant
+        # materialization is amortized over T tokens
+        from ..kernels.kv_cache import dequant_kv
+        k, v = dequant_kv(kv, cfg.dtype)
+    else:
+        k, v = kv.k, kv.v                                    # (B, H, S, D)
     S = k.shape[2]
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh.astype(jnp.float32),
                         k.astype(jnp.float32)) / np.sqrt(c.head_dim)
