@@ -351,8 +351,9 @@ def load_tokenizer(path: str, prefer_hf: bool = True):
     """Load a tokenizer from a local directory or vocab file.
 
     Tries the HF AutoTokenizer for full fidelity when ``transformers`` is
-    importable and the dir has tokenizer configs; otherwise (or for a bare
-    vocab.txt) falls back to the self-contained WordPieceTokenizer.
+    importable and the dir has tokenizer configs; otherwise falls back to
+    the self-contained implementations: WordPiece for a vocab.txt, GPT-2
+    byte-level BPE (harness/bpe.py) for vocab.json + merges.txt.
     """
     vocab = path
     if os.path.isdir(path):
@@ -367,5 +368,11 @@ def load_tokenizer(path: str, prefer_hf: bool = True):
         lower = "uncased" in os.path.basename(os.path.abspath(path)) \
             or "uncased" in vocab
         return WordPieceTokenizer(vocab, do_lower_case=lower or True)
-    raise FileNotFoundError(f"no tokenizer at {path} (need an HF dir or "
-                            f"a vocab.txt)")
+    base = path if os.path.isdir(path) else os.path.dirname(path) or "."
+    vj = os.path.join(base, "vocab.json")
+    mt = os.path.join(base, "merges.txt")
+    if os.path.exists(vj) and os.path.exists(mt):
+        from .bpe import BPETokenizer
+        return BPETokenizer(vj, mt)
+    raise FileNotFoundError(f"no tokenizer at {path} (need an HF dir, a "
+                            f"vocab.txt, or vocab.json + merges.txt)")

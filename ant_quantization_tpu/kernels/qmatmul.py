@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.snap import snap_codes
 
 __all__ = ["pack_w4", "quantized_matmul_w4", "dequant_w4_reference",
-           "int8_codebook", "quantize_weights_w4_i8"]
+           "int8_codebook", "quantize_weights_w4_i8", "fused_w8a8_matmul"]
 
 
 def pack_w4(codes: jax.Array) -> jax.Array:
@@ -156,6 +156,108 @@ def quantized_matmul_w4(x: jax.Array, packed: jax.Array, scale: jax.Array,
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
         interpret=interpret,
     )(x3, packed, scale.reshape(1, N), grid)
+    return out[:M]
+
+
+def _w8a8_kernel(aq_ref, inv_ref, x_ref, w_ref, s_ref, o_ref, acc_ref,
+                 *, n_k: int, g: int):
+    """One (bm, bn) tile at one K step: snap the activation slice onto the
+    int8-domain codebook, int8 x int8 MXU matmul, int32 accumulate across
+    the K grid, scale once at the last step."""
+    kc = pl.program_id(2)
+    aq = [aq_ref[0, i] for i in range(g)]
+    xs = x_ref[...] * inv_ref[0, 0]          # pre-scaled activations
+    idx = jnp.zeros(xs.shape, jnp.int32)
+    for i in range(g - 1):
+        idx += (xs >= (aq[i] + aq[i + 1]) * 0.5).astype(jnp.int32)
+    xq = jnp.full(xs.shape, aq[0], jnp.float32)
+    for i in range(1, g):
+        xq = jnp.where(idx == i, aq[i], xq)
+    part = jax.lax.dot_general(xq.astype(jnp.int8), w_ref[...],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(kc > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(kc == n_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...].astype(jnp.float32)
+                      * s_ref[0, :][None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def fused_w8a8_matmul(x: jax.Array, w_i8: jax.Array, a_q: jax.Array,
+                      a_scale: jax.Array, out_scale: jax.Array, *,
+                      block_n: int = 2048, block_k: int = 2048,
+                      interpret: bool = False) -> jax.Array:
+    """snap(x / a_scale -> a_q) @ w_i8 * out_scale, one fused kernel.
+
+    W4A4 decode-path matmul for *standalone* weights: weights are the
+    exact int8 values of the 16-entry codebook (int8_codebook),
+    activations snap onto the int8-domain activation codebook
+    in-register, and the product runs on the int8 MXU with int32
+    accumulation — one int8-width streaming read of the weights, no
+    separate materialized snap pass.
+
+    NOTE (measured on v5e): inside a layer scan over *stacked* (L, K, N)
+    weights the engine keeps XLA's own int8 dot instead — XLA feeds a
+    dynamic slice to its dot as a view (~500 GB/s) but must materialize a
+    copy for a custom call (~345 GB/s). Use this kernel when the weight
+    is a real standalone array (~450 GB/s vs ~410 for the unfused dot +
+    snap pass at small M).
+
+    x (M, K) f32/bf16; w_i8 (K, N) int8; a_q (G<=16,) sorted int8-domain
+    codebook values; a_scale scalar; out_scale (N,) f32 (the folded
+    a_scale * per-channel weight scale). Returns (M, N) f32.
+    """
+    M, K = x.shape
+    _, N = w_i8.shape
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    g = int(a_q.shape[0])
+    assert g <= 16, "fused path is for <=4-bit activation codebooks"
+    Mp = -(-M // 8) * 8
+    # block M too (prefill: M = batch x seq): weights re-stream once per
+    # M block, but at large M the kernel is MXU-bound, not HBM-bound
+    bm = min(256, Mp)
+    if Mp % bm:
+        Mp = -(-Mp // bm) * bm
+    xp = jnp.pad(x.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    want = 2048 if bm <= 64 else 1024
+    bn = _fit_block(N, min(block_n, want))
+    bk = _fit_block(K, min(block_k, want))
+    n_m, n_n, n_k = Mp // bm, N // bn, K // bk
+    inv = (1.0 / a_scale.astype(jnp.float32)).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k, g=g),
+        grid=(n_m, n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((1, g), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        interpret=interpret,
+    )(a_q.astype(jnp.float32).reshape(1, g), inv, xp, w_i8,
+      out_scale.astype(jnp.float32).reshape(1, N))
     return out[:M]
 
 

@@ -37,8 +37,8 @@ import numpy as np
 
 from ..kernels.attention import int8_kv_attention
 from ..kernels.kv_cache import QuantKV, append_kv, init_kv
-from ..kernels.qmatmul import (int8_codebook, pack_w4, quantized_matmul_w4,
-                               quantize_weights_w4_i8)
+from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
+                               quantized_matmul_w4, quantize_weights_w4_i8)
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
 from ..ops.snap import snap_codes
@@ -55,6 +55,12 @@ class EngineConfig:
     block_n: int = 512
     dtype: Any = jnp.bfloat16
     interpret: bool = False        # Pallas interpret mode (CPU tests)
+    # Megatron-style tensor parallelism (serve/sharded.py): inside
+    # shard_map every layer tensor is a local shard — q/k/v/fc_in column
+    # parallel (local heads / local d_ff), out/fc_out row parallel with a
+    # psum over ``tp_axis`` before the bias.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
 
 def _stack(trees):
@@ -155,11 +161,27 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
     return {"layers": stacked, "top": top}
 
 
-def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict) -> jax.Array:
+def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict,
+                 add_bias: bool = True) -> jax.Array:
+    y = _site_matmul_nobias(cfg, x2d, site)
+    if not add_bias:
+        return y
+    return (y + site["bias"]).astype(cfg.dtype)
+
+
+def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
+                        site: Dict) -> jax.Array:
     if cfg.weight_mode == "w4":
         if cfg.act_bits and "a_q" in site:
             # snap activations straight into the int8 codebook domain
-            # (linear rescale preserves nearest/ties) -> int8 MXU matmul
+            # (linear rescale preserves nearest/ties) -> int8 MXU matmul.
+            # Deliberately the plain XLA dot, not the fused Pallas kernel
+            # (kernels/qmatmul.py:fused_w8a8_matmul): inside the layer scan
+            # the weights are dynamic slices of the stacked (L, K, N)
+            # array, which XLA feeds to its own dot as a view (measured
+            # ~500 GB/s int8 streaming on v5e) but must materialize for a
+            # custom call (~345 GB/s). The fused kernel wins only on
+            # standalone (unstacked) weights.
             xq = _midpoint_snap(
                 x2d.astype(jnp.float32) / site["a_scale"],
                 site["a_q"].astype(jnp.float32)).astype(jnp.int8)
@@ -264,33 +286,49 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
         x = x + ep["top"]["wpe"][positions + 2]
     if "embed_ln" in ep["top"]:
         x = _ln(x, ep["top"]["embed_ln"], c.ln_eps)
-    alibi = (jnp.asarray(alibi_slopes(c.n_heads), jnp.float32)
-             if c.positions == "alibi" else None)
+    # local head count: under tensor parallelism (serve/sharded.py) this
+    # function runs inside shard_map on head-sharded layer weights
+    heads = c.n_heads // cfg.tp_size
+    d_attn = heads * c.head_dim
+    alibi = None
+    if c.positions == "alibi":
+        alibi = jnp.asarray(alibi_slopes(c.n_heads), jnp.float32)
+        if cfg.tp_axis:
+            off = jax.lax.axis_index(cfg.tp_axis) * heads
+            alibi = jax.lax.dynamic_slice(alibi, (off,), (heads,))
+
+    def _reduce(y2d, site):
+        """Row-parallel epilogue: psum partials over tp, then bias."""
+        if cfg.tp_axis:
+            y2d = jax.lax.psum(y2d, cfg.tp_axis)
+        return (y2d + site["bias"]).astype(cfg.dtype)
 
     def layer(x, scanned):
         lay, kv_l = scanned
         h = _ln(x, lay["ln_1"], c.ln_eps)
         x2 = h.reshape(B * T, c.d_model)
         if c.fused_qkv:
-            qkv = _site_matmul(cfg, x2, lay["qkv"]).reshape(B, T,
-                                                            3 * c.d_model)
+            qkv = _site_matmul(cfg, x2, lay["qkv"]).reshape(B, T, 3 * d_attn)
             qh, kh, vh = jnp.split(qkv, 3, axis=-1)
         else:
-            qh = _site_matmul(cfg, x2, lay["q"]).reshape(B, T, c.d_model)
-            kh = _site_matmul(cfg, x2, lay["k"]).reshape(B, T, c.d_model)
-            vh = _site_matmul(cfg, x2, lay["v"]).reshape(B, T, c.d_model)
-        sh = (B, T, c.n_heads, c.head_dim)
+            qh = _site_matmul(cfg, x2, lay["q"]).reshape(B, T, d_attn)
+            kh = _site_matmul(cfg, x2, lay["k"]).reshape(B, T, d_attn)
+            vh = _site_matmul(cfg, x2, lay["v"]).reshape(B, T, d_attn)
+        sh = (B, T, heads, c.head_dim)
         qh, kh, vh = qh.reshape(sh), kh.reshape(sh), vh.reshape(sh)
         kv_l = append_kv(kv_l, kh.astype(jnp.float32),
                          vh.astype(jnp.float32), pos_in)
         a = _attention(cfg, qh, kv_l, pos0, T, alibi)
-        a = a.reshape(B * T, c.d_model)
-        x = x + _site_matmul(cfg, a, lay["out"]).reshape(B, T, c.d_model)
+        a = a.reshape(B * T, d_attn)
+        attn_out = _reduce(_site_matmul_nobias(cfg, a, lay["out"]),
+                           lay["out"])
+        x = x + attn_out.reshape(B, T, c.d_model)
         h = _ln(x, lay["ln_2"], c.ln_eps)
         h2 = _site_matmul(cfg, h.reshape(B * T, c.d_model), lay["fc_in"])
         h2 = _act(c.activation, h2)
-        h2 = _site_matmul(cfg, h2, lay["fc_out"]).reshape(B, T, c.d_model)
-        return x + h2, kv_l
+        h2 = _reduce(_site_matmul_nobias(cfg, h2, lay["fc_out"]),
+                     lay["fc_out"])
+        return x + h2.reshape(B, T, c.d_model), kv_l
 
     x, kv = jax.lax.scan(layer, x, (ep["layers"], kv))
     x = _ln(x, ep["top"]["ln_f"], c.ln_eps)

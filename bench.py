@@ -152,11 +152,14 @@ def _bench(cfg: eng.EngineConfig, label: str) -> float:
 
 
 def main():
+    from ant_quantization_tpu.utils.profiling import (maybe_trace,
+                                                      profile_dir_from_env)
     qcfg = eng.EngineConfig(lm=LM, weight_mode="w4", act_bits=4,
                             kv_int8=True, max_seq=MAX_SEQ)
     bcfg = eng.EngineConfig(lm=LM, weight_mode="bf16", act_bits=0,
                             kv_int8=False, max_seq=MAX_SEQ)
-    tps_q = _bench(qcfg, "W4A4+int8KV")
+    with maybe_trace(profile_dir_from_env()):
+        tps_q = _bench(qcfg, "W4A4+int8KV")
     tps_b = _bench(bcfg, "bf16 baseline")
     print(json.dumps({
         "metric": (f"decode tokens/s/chip, OPT-6.7B-width {N_LAYERS}L "

@@ -103,3 +103,31 @@ def test_quantize_weights_w4_i8_matches_fake_quant(rng):
     np.testing.assert_allclose(
         np.asarray(w_i8, np.float32) * np.asarray(oscale)[None, :],
         np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_w8a8_matmul_matches_oracle():
+    """Fused snap+int8-matmul kernel == unfused snap -> int32 dot oracle."""
+    import numpy as np
+    from ant_quantization_tpu.kernels.qmatmul import fused_w8a8_matmul
+    rng = np.random.default_rng(0)
+    M, K, N = 5, 64, 48
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.integers(-64, 64, (K, N)), jnp.int8)
+    a_q = jnp.asarray(np.sort(rng.choice(np.arange(-127, 128), 16,
+                                         replace=False)), jnp.int8)
+    a_scale = jnp.asarray(0.07, jnp.float32)
+    oscale = jnp.asarray(rng.uniform(1e-4, 1e-3, (N,)), jnp.float32)
+
+    got = fused_w8a8_matmul(x, w, a_q, a_scale, a_scale * oscale,
+                            interpret=True)
+
+    g = np.asarray(a_q, np.float64)
+    xs = np.asarray(x) / 0.07
+    mids = (g[1:] + g[:-1]) / 2
+    idx = np.zeros(x.shape, np.int64)
+    for m in mids:
+        idx += (xs >= m)
+    xq = g[idx].astype(np.int32)
+    want = (xq @ np.asarray(w, np.int32)).astype(np.float32) \
+        * np.asarray(a_scale * oscale)[None, :]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)

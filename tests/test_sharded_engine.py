@@ -1,0 +1,106 @@
+"""Tensor-parallel engine (serve/sharded.py) vs the single-device engine
+on the virtual 8-device CPU mesh: identical logits modulo reduction order."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ant_quantization_tpu.models.transformer_lm import (LMConfig,
+                                                        TransformerLM)
+from ant_quantization_tpu.nn.config import QuantConfig
+from ant_quantization_tpu.parallel.mesh import make_mesh
+from ant_quantization_tpu.serve import engine as eng
+from ant_quantization_tpu.serve import sharded as sh
+
+
+def _cfg(fused=True, positions="learned", activation="gelu_new"):
+    return LMConfig(vocab_size=96, d_model=64, n_layers=2, n_heads=4,
+                    d_ff=128, max_seq=32, positions=positions,
+                    activation=activation, fused_qkv=fused)
+
+
+def _setup(cfg, qcfg=None, weight_mode="bf16", act_bits=0, kv_int8=False):
+    model = TransformerLM(cfg, qcfg or QuantConfig(enabled=False))
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 8)))
+    variables = model.init(jax.random.PRNGKey(1), ids)
+    quant = None
+    if weight_mode != "bf16" or act_bits:
+        _, upd = model.apply(variables, ids, mutable=["quant"])
+        quant = upd["quant"]
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode=weight_mode,
+                            act_bits=act_bits, kv_int8=kv_int8, max_seq=16,
+                            dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"], quant)
+    return ecfg, ep, ids
+
+
+def _run_pair(ecfg, ep, ids, dp, tp):
+    # single-device reference
+    kv0 = eng.init_cache(ecfg, ids.shape[0])
+    want, _ = eng.forward(ecfg, ep, ids, kv0,
+                          jnp.zeros((ids.shape[0],), jnp.int32))
+
+    mesh = make_mesh((dp, tp), devices=jax.devices("cpu")[:dp * tp])
+    tcfg = sh.tp_engine_config(ecfg, mesh)
+    eps = sh.shard_engine_params(ep, tcfg, mesh)
+    kv = sh.shard_cache(eng.init_cache(ecfg, ids.shape[0]), mesh)
+    fwd = sh.make_sharded_forward(tcfg, mesh)
+    got, kv = fwd(eps, ids, kv, jnp.zeros((ids.shape[0],), jnp.int32))
+    return np.asarray(got), np.asarray(want), kv
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2), (2, 4)])
+def test_bf16_tp_matches_single(dp, tp):
+    ecfg, ep, ids = _setup(_cfg())
+    got, want, _ = _run_pair(ecfg, ep, ids, dp, tp)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_split_qkv_opt_style_tp():
+    ecfg, ep, ids = _setup(_cfg(fused=False, positions="learned_offset2",
+                                activation="relu"))
+    got, want, _ = _run_pair(ecfg, ep, ids, 2, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_alibi_tp_local_slopes():
+    ecfg, ep, ids = _setup(_cfg(positions="alibi", activation="gelu"))
+    got, want, _ = _run_pair(ecfg, ep, ids, 1, 4)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_w4a4_int8kv_tp_matches_single():
+    """The full quantized serving config, tensor-parallel: packed int8
+    weights + A4 snap + INT8 KV shards per device."""
+    cfg = _cfg()
+    qcfg = QuantConfig(mode="flint", family="ant",
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    ecfg, ep, ids = _setup(cfg, qcfg, weight_mode="w4", act_bits=4,
+                           kv_int8=True)
+    got, want, kv = _run_pair(ecfg, ep, ids, 2, 2)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    # the cache was actually written (int8 codes non-zero somewhere)
+    assert int(jnp.abs(kv.k.astype(jnp.int32)).sum()) > 0
+
+
+def test_tp_decode_step():
+    """One prefill + one decode step under TP keeps positions straight."""
+    ecfg, ep, ids = _setup(_cfg(), kv_int8=True)
+    mesh = make_mesh((2, 2), devices=jax.devices("cpu")[:4])
+    tcfg = sh.tp_engine_config(ecfg, mesh)
+    eps = sh.shard_engine_params(ep, tcfg, mesh)
+    fwd = sh.make_sharded_forward(tcfg, mesh)
+    B = ids.shape[0]
+    kv = sh.shard_cache(eng.init_cache(ecfg, B), mesh)
+    logits, kv = fwd(eps, ids, kv, jnp.zeros((B,), jnp.int32))
+    tok = jnp.argmax(logits[:, -1:], axis=-1)
+    logits2, kv = fwd(eps, tok, kv, jnp.full((B,), ids.shape[1], jnp.int32))
+
+    kv0 = eng.init_cache(ecfg, B)
+    l0, kv0 = eng.forward(ecfg, ep, ids, kv0, 0)
+    t0 = jnp.argmax(l0[:, -1:], axis=-1)
+    l2, kv0 = eng.forward(ecfg, ep, t0, kv0, ids.shape[1])
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(l2),
+                               rtol=2e-2, atol=2e-2)

@@ -68,8 +68,8 @@ def load_tokens(args, log):
         rng = np.random.default_rng(0)
         return rng.integers(0, 1000, 64 * args.block_size).astype(np.int32)
     tok_path = args.tokenizer or args.model
-    from transformers import AutoTokenizer
-    tokenizer = AutoTokenizer.from_pretrained(tok_path)
+    from ant_quantization_tpu.harness.tokenization import load_tokenizer
+    tokenizer = load_tokenizer(tok_path)
     if os.path.isfile(args.dataset):
         log.info("tokenizing text file %s", args.dataset)
         ds = D.TextDataset.from_text_file(args.dataset, tokenizer,
