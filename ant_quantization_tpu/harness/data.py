@@ -272,3 +272,89 @@ def synthetic_image_batches(batch_size: int, n_batches: int,
         yield (rng.normal(size=(batch_size, crop, crop, 3)).astype(
             np.float32),
             rng.integers(0, num_classes, batch_size).astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# CIFAR-10/100 pipeline (reference dataloader.py get_cifar*_dataloader)
+# ---------------------------------------------------------------------------
+
+# normalization constants exactly as the reference's (dataloader.py:8-9 for
+# CIFAR-100; CIFAR-10 uses the standard torchvision statistics)
+CIFAR100_MEAN = np.array([0.5070751592371323, 0.48654887331495095,
+                          0.4409178433670343], np.float32)
+CIFAR100_STD = np.array([0.2673342858792401, 0.2564384629170883,
+                         0.27615047132568404], np.float32)
+CIFAR10_MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
+CIFAR10_STD = np.array([0.2470, 0.2435, 0.2616], np.float32)
+
+
+def load_cifar(root: str, which: str = "cifar100",
+               split: str = "train") -> Tuple[np.ndarray, np.ndarray]:
+    """Read the standard CIFAR python pickle layout from a local directory
+    (cifar-10-batches-py/ or cifar-100-python/) -> (uint8 NHWC, labels)."""
+    import pickle
+
+    def read(path):
+        with open(path, "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    if which == "cifar10":
+        base = os.path.join(root, "cifar-10-batches-py")
+        files = ([f"data_batch_{i}" for i in range(1, 6)]
+                 if split == "train" else ["test_batch"])
+        label_key = "labels"
+    else:
+        base = os.path.join(root, "cifar-100-python")
+        files = ["train" if split == "train" else "test"]
+        label_key = "fine_labels"
+    if not os.path.isdir(base):      # allow pointing straight at the dir
+        base = root
+    imgs, labels = [], []
+    for name in files:
+        d = read(os.path.join(base, name))
+        data = np.asarray(d["data"], np.uint8).reshape(-1, 3, 32, 32)
+        imgs.append(data.transpose(0, 2, 3, 1))        # NHWC
+        labels.extend(d[label_key])
+    return np.concatenate(imgs), np.asarray(labels, np.int32)
+
+
+def _cifar_augment(imgs: np.ndarray, rng) -> np.ndarray:
+    """RandomCrop(32, padding=4) + RandomHorizontalFlip (the reference's
+    train transform minus the 15-degree rotation, which needs an image
+    resampler; divergence documented here)."""
+    n = imgs.shape[0]
+    padded = np.pad(imgs, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    out = np.empty_like(imgs)
+    ys = rng.integers(0, 9, n)
+    xs = rng.integers(0, 9, n)
+    flip = rng.random(n) < 0.5
+    for i in range(n):
+        crop = padded[i, ys[i]:ys[i] + 32, xs[i]:xs[i] + 32]
+        out[i] = crop[:, ::-1] if flip[i] else crop
+    return out
+
+
+def cifar_batches(root: str, which: str = "cifar100",
+                  split: str = "test", batch_size: int = 128,
+                  augment: bool = False, seed: int = 0,
+                  shard: Tuple[int, int] = (0, 1),
+                  limit: Optional[int] = None):
+    """Yield normalized (NHWC f32, labels) batches; train split shuffles
+    and augments like the reference transform stack."""
+    imgs, labels = load_cifar(root, which, split)
+    mean, std = ((CIFAR10_MEAN, CIFAR10_STD) if which == "cifar10"
+                 else (CIFAR100_MEAN, CIFAR100_STD))
+    rng = np.random.default_rng(seed)
+    idx = np.arange(len(imgs))
+    if split == "train":
+        rng.shuffle(idx)
+    idx = idx[shard[0]::shard[1]]
+    if limit:
+        idx = idx[:limit]
+    for i in range(0, len(idx), batch_size):
+        chunk = idx[i:i + batch_size]
+        x = imgs[chunk]
+        if augment:
+            x = _cifar_augment(x, rng)
+        x = (x.astype(np.float32) / 255.0 - mean) / std
+        yield x, labels[chunk]

@@ -69,14 +69,21 @@ class ContinuousBatcher:
 
     def __init__(self, cfg: eng.EngineConfig, ep: Dict, batch_slots: int,
                  prefill_buckets: Tuple[int, ...] = (32, 128, 512),
-                 pad_id: int = 0):
+                 pad_id: int = 0,
+                 forward_fn: Optional[Callable] = None,
+                 kv: Optional[Tuple] = None):
+        """``forward_fn(ep, ids, kv, pos0) -> (logits, kv)`` defaults to
+        the single-device engine; pass serve.sharded.make_sharded_forward's
+        result (plus its sharded ``ep``/``kv``) to batch over a TP mesh."""
         self.cfg = cfg
         self.ep = ep
         self.B = batch_slots
         self.buckets = tuple(sorted(prefill_buckets))
         self.pad_id = pad_id
+        fwd = forward_fn or (lambda ep_, ids_, kv_, pos0_: eng.forward(
+            cfg, ep_, ids_, kv_, pos0_))
 
-        self.kv = eng.init_cache(cfg, batch_slots)
+        self.kv = kv if kv is not None else eng.init_cache(cfg, batch_slots)
         self.lengths = np.zeros(batch_slots, np.int64)   # fill depth
         self.slot_req: List[Optional[Request]] = [None] * batch_slots
         self.slot_tokens: List[List[int]] = [[] for _ in range(batch_slots)]
@@ -96,7 +103,8 @@ class ContinuousBatcher:
             put = lambda leaf, upd: jax.lax.dynamic_update_slice_in_dim(
                 leaf, upd, slot, axis=1)
             kv_row = jax.tree_util.tree_map(take, kv)
-            logits, kv_row = eng.forward(self.cfg, ep, ids_1xTb, kv_row, 0)
+            logits, kv_row = fwd(ep, ids_1xTb, kv_row,
+                                 jnp.zeros((1,), jnp.int32))
             kv = jax.tree_util.tree_map(put, kv, kv_row)
             # next token reads the logits at the true last prompt position,
             # not the padded tail
@@ -105,8 +113,7 @@ class ContinuousBatcher:
 
         @partial(jax.jit, donate_argnums=(1,))
         def decode_all(ep, kv, tokens_Bx1, lengths_B):
-            logits, kv = eng.forward(self.cfg, ep, tokens_Bx1, kv,
-                                     lengths_B)
+            logits, kv = fwd(ep, tokens_Bx1, kv, lengths_B)
             nxt = jnp.argmax(logits[:, -1], axis=-1)
             return kv, nxt.astype(jnp.int32)
 

@@ -116,3 +116,35 @@ def test_zoo_presets():
     assert cfg.d_ff == 3072 and params is None
     model, conv, v = zoo.get_image_model("resnet18", FP32)
     assert v is None
+
+
+def test_cifar_pipeline(tmp_path):
+    """load_cifar/cifar_batches read the standard pickle layout (synthetic
+    files) and normalize with the reference constants."""
+    import pickle
+    import numpy as np
+    from ant_quantization_tpu.harness import data as D
+
+    base = tmp_path / "cifar-100-python"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    for name, n in (("train", 64), ("test", 32)):
+        d = {"data": rng.integers(0, 256, (n, 3072), dtype=np.uint8),
+             "fine_labels": rng.integers(0, 100, n).tolist()}
+        with open(base / name, "wb") as f:
+            pickle.dump(d, f)
+
+    imgs, labels = D.load_cifar(str(tmp_path), "cifar100", "test")
+    assert imgs.shape == (32, 32, 32, 3) and labels.shape == (32,)
+
+    batches = list(D.cifar_batches(str(tmp_path), "cifar100", "test",
+                                   batch_size=16))
+    assert len(batches) == 2
+    x, y = batches[0]
+    assert x.shape == (16, 32, 32, 3) and x.dtype == np.float32
+    # normalized: roughly zero-centered
+    assert abs(float(x.mean())) < 1.0
+
+    aug = list(D.cifar_batches(str(tmp_path), "cifar100", "train",
+                               batch_size=16, augment=True))
+    assert aug[0][0].shape == (16, 32, 32, 3)

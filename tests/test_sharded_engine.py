@@ -104,3 +104,23 @@ def test_tp_decode_step():
     l2, kv0 = eng.forward(ecfg, ep, t0, kv0, ids.shape[1])
     np.testing.assert_allclose(np.asarray(logits2), np.asarray(l2),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_continuous_batching_over_tp_mesh():
+    """ContinuousBatcher composes with the sharded forward (tp-only mesh:
+    batch axis replicated so slot slicing stays local)."""
+    from ant_quantization_tpu.serve.scheduler import (ContinuousBatcher,
+                                                      Request)
+    ecfg, ep, ids = _setup(_cfg(), kv_int8=True)
+    mesh = make_mesh((1, 4), devices=jax.devices("cpu")[:4])
+    tcfg = sh.tp_engine_config(ecfg, mesh)
+    eps = sh.shard_engine_params(ep, tcfg, mesh)
+    fwd = sh.make_sharded_forward(tcfg, mesh)
+    kv = sh.shard_cache(eng.init_cache(ecfg, 2), mesh)
+    cb = ContinuousBatcher(tcfg, eps, batch_slots=2, prefill_buckets=(8,),
+                           forward_fn=fwd, kv=kv)
+    cb.submit(Request(prompt=[1, 2, 3], max_new_tokens=4))
+    cb.submit(Request(prompt=[4, 5], max_new_tokens=3))
+    done = cb.run()
+    assert len(done) == 2
+    assert sorted(len(c.tokens) for c in done) == [3, 4]
