@@ -78,3 +78,23 @@ def test_energy_breakdown_fractions(vgg_rows):
     ada = [r for r in vgg_rows if r["accel"] == "adafloat"]
     for r in ada:
         assert abs(r["norm_energy"] - 1.0) < 1e-9
+
+
+def test_golden_energy_breakdown_vgg16(vgg_rows):
+    """Golden rows 7-10 of ant_res.csv (Static/Dram/Buffer/Core normalized
+    vs AdaFloat), VGG16 columns."""
+    golden = {
+        #            static dram  sram  core
+        "ant_os":    (0.08, 0.04, 0.10, 0.06),
+        "ant_ws":    (0.08, 0.02, 0.17, 0.06),
+        "bitfusion": (0.30, 0.16, 0.19, 0.22),
+        "olaccel":   (0.31, 0.10, 0.11, 0.06),
+        "biscaled":  (0.15, 0.08, 0.14, 0.12),
+        "adafloat":  (0.39, 0.16, 0.20, 0.25),
+    }
+    got = {r["accel"]: (r["static"], r["dram"], r["sram"], r["core"])
+           for r in vgg_rows if r["network"] == "vgg16"}
+    for accel, want in golden.items():
+        for g, w, part in zip(got[accel], want,
+                              ("static", "dram", "sram", "core")):
+            assert abs(g - w) < 0.011, (accel, part, g, w)
