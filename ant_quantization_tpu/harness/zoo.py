@@ -141,7 +141,8 @@ def get_lm(name_or_path: str, qcfg: QuantConfig,
 # ---------------------------------------------------------------------------
 
 IMAGE_MODELS = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-                "vgg16", "alexnet", "vit_b_16", "vit_l_16", "inception_v3")
+                "vgg16", "vgg16_bn", "alexnet", "vit_b_16", "vit_l_16",
+                "inception_v3")
 
 
 def get_image_model(name: str, qcfg: QuantConfig,
@@ -156,9 +157,13 @@ def get_image_model(name: str, qcfg: QuantConfig,
         cfg = getattr(resnet_mod, f"{name}_config")()
         model = resnet_mod.ResNet(cfg, qcfg)
         conv = lambda sd: resnet_mod.import_torchvision_resnet(sd, cfg)
-    elif name == "vgg16":
-        model = cnn_mod.VGG16(qcfg)
-        conv = lambda sd: (cnn_mod.import_torchvision_vgg16(sd), None)
+    elif name in ("vgg16", "vgg16_bn"):
+        bn = name.endswith("_bn")
+        model = cnn_mod.VGG16(qcfg, with_bn=bn)
+        if bn:
+            conv = lambda sd: cnn_mod.import_torchvision_vgg16(sd, True)
+        else:
+            conv = lambda sd: (cnn_mod.import_torchvision_vgg16(sd), None)
     elif name == "alexnet":
         model = cnn_mod.AlexNet(qcfg)
         conv = lambda sd: (cnn_mod.import_torchvision_alexnet(sd), None)

@@ -23,8 +23,12 @@ VGG16_LAYOUT = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 
 
 class VGG16(nn.Module):
+    """torchvision VGG-16 ("D" config); ``with_bn`` adds BatchNorm after
+    every conv — the reference's experiments run on torchvision
+    ``vgg16_bn`` (quant_6bit_ptq.sh / vgg16_qat.sh)."""
     qcfg: QuantConfig
     num_classes: int = 1000
+    with_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,6 +39,9 @@ class VGG16(nn.Module):
             else:
                 x = QuantConv(item, (3, 3), self.qcfg, padding=1,
                               name=f"conv_{i}")(x)
+                if self.with_bn:
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     name=f"bn_{i}")(x)
                 x = nn.relu(x)
                 i += 1
         # torchvision flattens NCHW: transpose so imported fc weights apply
@@ -73,31 +80,41 @@ def _conv(sd, key):
             "bias": sd[f"{key}.bias"]}
 
 
-def import_torchvision_vgg16(sd: Mapping[str, np.ndarray]):
-    params = {}
-    for my_i, tv_i in enumerate(i for i in _vgg_feature_indices()
-                                if i is not None):
+def import_torchvision_vgg16(sd: Mapping[str, np.ndarray],
+                             with_bn: bool = False):
+    """vgg16 -> params; vgg16_bn -> (params, batch_stats)."""
+    params, stats = {}, {}
+    for my_i, tv_i in enumerate(_vgg_feature_indices(with_bn)):
         params[f"conv_{my_i}"] = _conv(sd, f"features.{tv_i}")
+        if with_bn:
+            key = f"features.{tv_i + 1}"
+            params[f"bn_{my_i}"] = {"scale": sd[f"{key}.weight"],
+                                    "bias": sd[f"{key}.bias"]}
+            stats[f"bn_{my_i}"] = {"mean": sd[f"{key}.running_mean"],
+                                   "var": sd[f"{key}.running_var"]}
     params["fc0"] = {"kernel": sd["classifier.0.weight"].T,
                      "bias": sd["classifier.0.bias"]}
     params["fc1"] = {"kernel": sd["classifier.3.weight"].T,
                      "bias": sd["classifier.3.bias"]}
     params["fc2"] = {"kernel": sd["classifier.6.weight"].T,
                      "bias": sd["classifier.6.bias"]}
+    if with_bn:
+        return params, stats
     return params
 
 
-def _vgg_feature_indices():
-    """torchvision vgg16.features indices of the conv layers (convs are
-    followed by ReLU, pools take a slot too)."""
+def _vgg_feature_indices(with_bn: bool = False):
+    """torchvision vgg16(.features) indices of the conv layers: each conv
+    is followed by ReLU (and BatchNorm in vgg16_bn); pools take a slot."""
     idx = []
     i = 0
+    per_conv = 3 if with_bn else 2    # conv (+bn) + relu
     for item in VGG16_LAYOUT:
         if item == "M":
             i += 1
         else:
             idx.append(i)
-            i += 2  # conv + relu
+            i += per_conv
     return idx
 
 

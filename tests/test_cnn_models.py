@@ -130,3 +130,45 @@ def test_vit_b16_param_count():
     assert n == 86_567_656  # torchvision vit_b_16
     y = jax.eval_shape(m.apply, variables, x)
     assert y.shape == (1, 1000)
+
+
+def test_vgg16_bn_variant():
+    """vgg16_bn: BN after every conv (torchvision parameter count), and
+    the torchvision vgg16_bn state-dict imports with batch stats."""
+    import numpy as np
+    m = VGG16(FP, with_bn=True)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+    n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 138_365_992          # torchvision vgg16_bn num params
+    assert "batch_stats" in variables and "bn_0" in variables["batch_stats"]
+
+    # synthetic torchvision vgg16_bn state dict
+    from ant_quantization_tpu.models.cnn import (VGG16_LAYOUT,
+                                                 _vgg_feature_indices)
+    rng = np.random.default_rng(0)
+    sd = {}
+    chans = [c for c in VGG16_LAYOUT if c != "M"]
+    in_c = 3
+    for tv_i, oc in zip(_vgg_feature_indices(True), chans):
+        sd[f"features.{tv_i}.weight"] = rng.normal(
+            size=(oc, in_c, 3, 3)).astype(np.float32)
+        sd[f"features.{tv_i}.bias"] = np.zeros(oc, np.float32)
+        b = tv_i + 1
+        sd[f"features.{b}.weight"] = np.ones(oc, np.float32)
+        sd[f"features.{b}.bias"] = np.zeros(oc, np.float32)
+        sd[f"features.{b}.running_mean"] = np.zeros(oc, np.float32)
+        sd[f"features.{b}.running_var"] = np.ones(oc, np.float32)
+        in_c = oc
+    for i, (ni, no) in zip((0, 3, 6), ((25088, 4096), (4096, 4096),
+                                       (4096, 1000))):
+        sd[f"classifier.{i}.weight"] = rng.normal(
+            size=(no, ni)).astype(np.float32) * 0.01
+        sd[f"classifier.{i}.bias"] = np.zeros(no, np.float32)
+    params, stats = import_torchvision_vgg16(sd, with_bn=True)
+    assert set(stats) == {f"bn_{i}" for i in range(13)}
+    assert params["conv_0"]["kernel"].shape == (3, 3, 3, 64)
+    # shapes line up with the model's expectations
+    tmpl = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+    for name, leaf in params["conv_5"].items():
+        assert tmpl["params"]["conv_5"][name].shape == leaf.shape
