@@ -193,25 +193,40 @@ def evaluate_classification(model, variables: Dict[str, Any],
                             batches: Iterable[Tuple[np.ndarray, np.ndarray]],
                             topk: Tuple[int, ...] = (1, 5),
                             log_every: int = 0,
-                            logger: Optional[Callable[[str], None]] = None):
-    """Top-k accuracy over an eval stream (ImageNet/main.py:245-284)."""
+                            logger: Optional[Callable[[str], None]] = None,
+                            journal: Optional[str] = None,
+                            journal_every: int = 50):
+    """Top-k accuracy over an eval stream (ImageNet/main.py:245-284).
+
+    ``journal``: optional path for crash-resumable accumulation
+    (harness/resilient.py) — a restarted eval skips already-folded
+    batches instead of starting over."""
+    from .resilient import ResumableAccumulator
 
     @jax.jit
     def logits_fn(variables, images):
         return model.apply(variables, images)
 
-    correct = {k: 0 for k in topk}
-    total = 0
+    acc = ResumableAccumulator(
+        journal or "", init={f"correct{k}": 0 for k in topk} | {"total": 0},
+        save_every=journal_every)
     t0 = time.perf_counter()
     for i, (images, labels) in enumerate(batches):
+        if acc.already_done(i):
+            continue
         logits = np.asarray(logits_fn(variables, jnp.asarray(images)))
         order = np.argsort(-logits, axis=-1)
-        for k in topk:
-            correct[k] += int((order[:, :k] ==
-                               labels[:, None]).any(axis=1).sum())
-        total += len(labels)
+        contrib = {f"correct{k}": int(
+            (order[:, :k] == labels[:, None]).any(axis=1).sum())
+            for k in topk}
+        contrib["total"] = len(labels)
+        acc.fold(i, contrib)
         if log_every and logger and (i + 1) % log_every == 0:
+            s = acc.state
             logger(f"eval batch {i + 1}: top1="
-                   f"{correct[topk[0]] / max(total, 1):.4f} n={total} "
-                   f"({total / (time.perf_counter() - t0):.1f} img/s)")
-    return {f"top{k}": correct[k] / max(total, 1) for k in topk}
+                   f"{s[f'correct{topk[0]}'] / max(s['total'], 1):.4f} "
+                   f"n={s['total']} "
+                   f"({s['total'] / (time.perf_counter() - t0):.1f} img/s)")
+    state = acc.finalize()
+    total = max(state["total"], 1)
+    return {f"top{k}": state[f"correct{k}"] / total for k in topk}

@@ -59,6 +59,9 @@ def parse_args():
     p.add_argument("--resume", default=None,
                    help="checkpoint dir with calibrated quant state")
     p.add_argument("--output", default=None)
+    p.add_argument("--journal", default=None,
+                   help="crash-resume journal path: a restarted eval "
+                        "skips batches already accumulated")
     return p.parse_args()
 
 
@@ -102,7 +105,8 @@ def main():
         variables["quant"] = quant
 
     results = T.evaluate_classification(model, variables, batches(),
-                                        log_every=10, logger=log.info)
+                                        log_every=10, logger=log.info,
+                                        journal=args.journal)
     results.update(model=args.model, mode=args.mode, wbit=args.wbit,
                    abit=args.abit)
     print(json.dumps(results, indent=2))
