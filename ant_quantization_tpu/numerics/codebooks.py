@@ -255,10 +255,18 @@ def ant_grid(mode: str, bit: int, signed: bool) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def olive_int_values(bit: int, signed: bool) -> np.ndarray:
-    """OliVe int grid: ANT int values scaled by 32/2^B, sorted, no padding
-    (olive_quantization/antquant/quant_modules.py:72-91)."""
+    """OliVe int grid, scaled by 32/2^B, sorted, no padding
+    (olive_quantization/antquant/quant_modules.py:72-91).
+
+    Unlike ANT's int_value, the OliVe fork does NOT append -2^B: the
+    signed grid is symmetric {0, ±1..±(2^B - 1)} (2^bit - 1 entries), so
+    the max normal magnitude is 32·(2^B-1)/2^B < 32 and |q| > 32 cleanly
+    separates outliers."""
     b = _value_bits(bit, signed)
-    arr = np.sort(np.asarray(int_values(bit, signed), dtype=np.float64))
+    values = [0.0] + [float(i) for i in range(1, 2 ** b)]
+    if signed:
+        values += [float(-i) for i in range(1, 2 ** b)]
+    arr = np.sort(np.asarray(values, dtype=np.float64))
     arr = arr * (32.0 / 2 ** b)
     return arr.astype(np.float32)
 

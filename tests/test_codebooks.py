@@ -94,9 +94,13 @@ def test_all_ant_grids_are_16_entries_sorted():
 
 
 def test_olive_int_4bit():
+    # symmetric: the OliVe fork's int_value does NOT append -2^B like
+    # ANT's does (olive quant_modules.py:72-91) — verified against the
+    # reference implementation in test_reference_oracle.py
     g = cb.olive_int_values(4, signed=True)
-    np.testing.assert_allclose(g, np.arange(-8, 8) * 4.0)
-    assert g.max() == 28.0 and g.min() == -32.0
+    np.testing.assert_allclose(g, np.arange(-7, 8) * 4.0)
+    assert g.shape == (15,)
+    assert g.max() == 28.0 and g.min() == -28.0
 
 
 def test_olive_flint_4bit():
@@ -118,5 +122,6 @@ def test_olive_outliers_4bit():
 
 def test_olive_8bit_int():
     g = cb.olive_int_values(8, signed=True)
-    assert g.shape == (256,)
-    assert g.min() == -32.0 and g.max() == pytest.approx(32.0 - 32 / 128)
+    assert g.shape == (255,)      # symmetric, no -2^B entry
+    assert g.max() == pytest.approx(32.0 - 32 / 128)
+    assert g.min() == pytest.approx(-(32.0 - 32 / 128))
