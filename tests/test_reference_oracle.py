@@ -243,3 +243,55 @@ def test_olive_no_outlier_matches_reference(olivemod):
     state = calibrate(jnp.asarray(w_ref.T), cfg)
     got = np.asarray(apply_quant(jnp.asarray(w_ref.T), state, cfg)).T
     np.testing.assert_allclose(got, got_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gobo_outlier_mode_matches_reference(refmod):
+    """GOBO-style 'outlier' baseline: int4 below the percentile threshold,
+    16-bit affine above it (quant_modules.py:417-465)."""
+    rng = np.random.default_rng(6)
+    w_ref = (rng.normal(size=(6, 40)) ** 3).astype(np.float32)
+    q = _ref_quantizer(refmod, "outlier", 4)
+    q.percent = 0.99
+    got_ref = q.tensor_forward(torch.from_numpy(w_ref)).detach().numpy()
+
+    cfg = SiteConfig(bit=4, is_input=False, is_signed=True,
+                     mode="outlier", family="ant", percent=0.99)
+    state = calibrate(jnp.asarray(w_ref.T), cfg)
+    got = np.asarray(apply_quant(jnp.asarray(w_ref.T), state, cfg)).T
+    np.testing.assert_allclose(got, got_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["float1", "float2", "float3", "float4"])
+def test_float_exponent_variants_match_reference(refmod, mode):
+    """float1..4: the duplicated-float_value quirk — searched with
+    exp_bit=1 but finalized at the stated width (quant_modules.py:504-509
+    vs :377-402). Non-adaptive direct modes here."""
+    rng = np.random.default_rng(7)
+    w_ref = rng.normal(size=(4, 32)).astype(np.float32)
+    q = _ref_quantizer(refmod, mode, 6)
+    got_ref = q.tensor_forward(torch.from_numpy(w_ref)).detach().numpy()
+
+    cfg = _site(mode, 6, is_input=False)
+    state = calibrate(jnp.asarray(w_ref.T), cfg)
+    got = np.asarray(apply_quant(jnp.asarray(w_ref.T), state, cfg)).T
+    np.testing.assert_allclose(
+        np.asarray(state.alpha).ravel(),
+        q.alpha.detach().numpy().ravel(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, got_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode,bit", [("ant-int-pot-flint", 6),
+                                      ("ant-int-pot-float-flint", 6)])
+def test_weight_calibration_6bit_matches_reference(refmod, mode, bit):
+    """The PTQ6 configuration (Table V): 64-entry grids, adaptive type."""
+    rng = np.random.default_rng(8)
+    w_ref = rng.normal(size=(4, 40)).astype(np.float32)
+    q = _ref_quantizer(refmod, mode, bit, w=(100, 150))
+    got_ref = q.tensor_forward(torch.from_numpy(w_ref)).detach().numpy()
+
+    cfg = _site(mode, bit, is_input=False, w=(100, 150))
+    state = calibrate(jnp.asarray(w_ref.T), cfg)
+    got = np.asarray(apply_quant(jnp.asarray(w_ref.T), state, cfg)).T
+    chosen = cfg.candidate_modes[int(state.mode_idx)]
+    assert chosen == q.mode
+    np.testing.assert_allclose(got, got_ref, rtol=1e-5, atol=1e-5)
