@@ -295,3 +295,59 @@ def test_weight_calibration_6bit_matches_reference(refmod, mode, bit):
     chosen = cfg.candidate_modes[int(state.mode_idx)]
     assert chosen == q.mode
     np.testing.assert_allclose(got, got_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_set_8_bit_layer_n_matches_reference(refmod, tmp_path):
+    """Promotion policy oracle: same MSEs -> the same sites get 8-bit
+    (MSE-ranked pairs + always-promoted last two, quant_model.py:89-149)."""
+    # stub the modules quant_model pulls in that need GPUs/torchvision
+    import types as _t
+    if "torchvision" not in sys.modules:
+        tv = _t.ModuleType("torchvision")
+        tvm = _t.ModuleType("torchvision.models")
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_quant_model", os.path.join(REF, "quant_model.py"))
+    qm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qm)
+
+    import torch.nn as nn
+    mses = [0.5, 0.1, 3.0, 0.2, 0.05, 0.9, 2.0, 0.4]   # per quantizer
+
+    class Site(nn.Module):
+        def __init__(self, mw, mi):
+            super().__init__()
+            self.quant_weight = _ref_quantizer(refmod, "int", 4)
+            self.quant_input = _ref_quantizer(refmod, "int", 4,
+                                              is_input=True)
+            self.quant_weight.mse = torch.tensor(mw)
+            self.quant_input.mse = torch.tensor(mi)
+
+    model = nn.Sequential(*[Site(mses[2 * i], mses[2 * i + 1])
+                            for i in range(4)])
+    qm.set_8_bit_layer_n(model, 3)
+    ref_bits = [int(s.quant_weight.bit.item()) for s in model]
+
+    # ours: synthetic quant tree with the same per-site MSE pairs
+    from ant_quantization_tpu.calibrate.promote import (quant_sites,
+                                                        set_8_bit_layer_n)
+    from ant_quantization_tpu.calibrate.spec import placeholder_state
+
+    def qs(mse):
+        return placeholder_state(None).replace(
+            mse=jnp.asarray(mse, jnp.float32),
+            bit=jnp.asarray(4, jnp.int32))
+
+    tree = {f"h_{i}": {"weight_q": qs(mses[2 * i]),
+                       "input_q": qs(mses[2 * i + 1])}
+            for i in range(4)}
+    out = set_8_bit_layer_n(tree, 3)
+    our_bits = [int(site["weight_q"].bit)
+                for _, site in quant_sites(out)]
+    assert our_bits == ref_bits, (our_bits, ref_bits)
+    # with n=3 and the last-2 rule, exactly 3 sites are promoted and the
+    # promoted non-tail site is the highest-MSE pair (pair 1: 3.0+0.2)
+    assert our_bits == [4, 8, 8, 8]
