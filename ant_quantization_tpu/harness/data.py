@@ -321,9 +321,11 @@ def load_cifar(root: str, which: str = "cifar100",
 def _cifar_augment(imgs: np.ndarray, rng) -> np.ndarray:
     """RandomCrop(32, padding=4) + RandomHorizontalFlip (the reference's
     train transform minus the 15-degree rotation, which needs an image
-    resampler; divergence documented here)."""
+    resampler; divergence documented here). Zero padding like torchvision
+    RandomCrop's default fill."""
     n = imgs.shape[0]
-    padded = np.pad(imgs, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    padded = np.pad(imgs, ((0, 0), (4, 4), (4, 4), (0, 0)),
+                    mode="constant")
     out = np.empty_like(imgs)
     ys = rng.integers(0, 9, n)
     xs = rng.integers(0, 9, n)

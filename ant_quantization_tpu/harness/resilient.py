@@ -26,9 +26,11 @@ import numpy as np
 
 __all__ = ["ResumableAccumulator", "retry_transient"]
 
-_TRANSIENT_MARKERS = ("UNAVAILABLE", "DEADLINE_EXCEEDED", "RESOURCE_EXHAUSTED",
-                      "Connection", "timed out", "Socket closed",
-                      "INTERNAL: http")
+# deliberately narrow: deterministic failures (OOM/RESOURCE_EXHAUSTED,
+# shape errors) must surface immediately, not retry
+_TRANSIENT_MARKERS = ("UNAVAILABLE", "DEADLINE_EXCEEDED",
+                      "Connection reset", "ConnectionError", "timed out",
+                      "Socket closed", "INTERNAL: http")
 
 
 def retry_transient(fn: Callable, *args, retries: int = 3,
@@ -69,14 +71,19 @@ class ResumableAccumulator:
     """
 
     def __init__(self, path: str, init: Dict[str, Any],
-                 save_every: int = 50):
+                 save_every: int = 50, fingerprint: str = ""):
+        """``fingerprint``: identifies the computation (model, mode, data
+        ...). A journal written under a different fingerprint is ignored
+        and overwritten — a rerun with changed configuration recomputes
+        instead of silently serving stale results."""
         self.path = path
         self.save_every = save_every
+        self.fingerprint = fingerprint
         self.state: Dict[str, Any] = dict(init)
         self.next_index = 0
         self._dirty = 0
-        if path and os.path.exists(self._meta_path):
-            self._load()
+        if path and os.path.exists(self._journal_path):
+            self._load(dict(init))
 
     # -- public ----------------------------------------------------------
     def already_done(self, index: int) -> bool:
@@ -102,35 +109,34 @@ class ResumableAccumulator:
         return dict(self.state)
 
     def save(self) -> None:
+        """One atomic file: arrays + a json header, replaced in a single
+        os.replace — a crash can never pair new arrays with an old
+        next_index."""
         arrays = {k: np.asarray(v) for k, v in self.state.items()
                   if isinstance(v, np.ndarray)}
         scalars = {k: v for k, v in self.state.items()
                    if not isinstance(v, np.ndarray)}
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"next_index": self.next_index,
-                       "scalars": scalars}, f)
-        if arrays:
-            np.savez(self._npz_path + ".tmp.npz", **arrays)
-            os.replace(self._npz_path + ".tmp.npz", self._npz_path)
-        os.replace(tmp, self._meta_path)
+        meta = json.dumps({"next_index": self.next_index,
+                           "scalars": scalars,
+                           "fingerprint": self.fingerprint})
+        tmp = self._journal_path + ".tmp.npz"
+        np.savez(tmp, __meta__=np.frombuffer(meta.encode(), np.uint8),
+                 **arrays)
+        os.replace(tmp, self._journal_path)
         self._dirty = 0
 
     # -- internals -------------------------------------------------------
     @property
-    def _meta_path(self) -> str:
-        return self.path + ".meta.json"
+    def _journal_path(self) -> str:
+        return self.path + ".journal.npz"
 
-    @property
-    def _npz_path(self) -> str:
-        return self.path + ".arrays.npz"
-
-    def _load(self) -> None:
-        with open(self._meta_path) as f:
-            meta = json.load(f)
-        self.next_index = int(meta["next_index"])
-        self.state.update(meta["scalars"])
-        if os.path.exists(self._npz_path):
-            with np.load(self._npz_path) as z:
-                for k in z.files:
+    def _load(self, init: Dict[str, Any]) -> None:
+        with np.load(self._journal_path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+            if meta.get("fingerprint", "") != self.fingerprint:
+                return                       # different run: start fresh
+            self.next_index = int(meta["next_index"])
+            self.state.update(meta["scalars"])
+            for k in z.files:
+                if k != "__meta__":
                     self.state[k] = z[k]

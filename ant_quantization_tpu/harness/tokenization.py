@@ -365,9 +365,12 @@ def load_tokenizer(path: str, prefer_hf: bool = True):
         except Exception:
             pass
     if os.path.exists(vocab):
-        lower = "uncased" in os.path.basename(os.path.abspath(path)) \
-            or "uncased" in vocab
-        return WordPieceTokenizer(vocab, do_lower_case=lower or True)
+        # BERT convention: lowercase unless the name says "-cased"
+        # ("uncased" contains "cased", so test for uncased first)
+        base = (os.path.basename(os.path.abspath(path)) + " "
+                + vocab).lower()
+        lower = "uncased" in base or "cased" not in base
+        return WordPieceTokenizer(vocab, do_lower_case=lower)
     base = path if os.path.isdir(path) else os.path.dirname(path) or "."
     vj = os.path.join(base, "vocab.json")
     mt = os.path.join(base, "merges.txt")

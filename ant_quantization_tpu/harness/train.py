@@ -195,12 +195,15 @@ def evaluate_classification(model, variables: Dict[str, Any],
                             log_every: int = 0,
                             logger: Optional[Callable[[str], None]] = None,
                             journal: Optional[str] = None,
-                            journal_every: int = 50):
+                            journal_every: int = 50,
+                            journal_fingerprint: str = ""):
     """Top-k accuracy over an eval stream (ImageNet/main.py:245-284).
 
     ``journal``: optional path for crash-resumable accumulation
     (harness/resilient.py) — a restarted eval skips already-folded
-    batches instead of starting over."""
+    batches instead of starting over. ``journal_fingerprint`` should
+    identify the run configuration; a journal from a different
+    configuration is discarded, not resumed."""
     from .resilient import ResumableAccumulator
 
     @jax.jit
@@ -209,7 +212,7 @@ def evaluate_classification(model, variables: Dict[str, Any],
 
     acc = ResumableAccumulator(
         journal or "", init={f"correct{k}": 0 for k in topk} | {"total": 0},
-        save_every=journal_every)
+        save_every=journal_every, fingerprint=journal_fingerprint)
     t0 = time.perf_counter()
     for i, (images, labels) in enumerate(batches):
         if acc.already_done(i):

@@ -171,6 +171,9 @@ def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict,
 
 def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
                         site: Dict) -> jax.Array:
+    """Matmul WITHOUT the bias (f32): callers add it — _site_matmul for
+    column-parallel sites, forward's _reduce after the psum for
+    row-parallel ones (so under TP the bias is counted exactly once)."""
     if cfg.weight_mode == "w4":
         if cfg.act_bits and "a_q" in site:
             # snap activations straight into the int8 codebook domain
@@ -200,18 +203,16 @@ def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
                         site["w_i8"].astype(mm_dtype),
                         preferred_element_type=jnp.float32)
             y = y * site["oscale"][None, :]
-        return (y + site["bias"]).astype(cfg.dtype)
+        return y
     if cfg.act_bits and "a_grid" in site:
         x2d = quantize_activation(x2d, site["a_grid"], site["a_alpha"])
     if cfg.weight_mode == "w4pack":
-        y = quantized_matmul_w4(x2d.astype(jnp.float32), site["packed"],
-                                site["scale"], site["grid"],
-                                block_n=cfg.block_n,
-                                interpret=cfg.interpret)
-        return (y + site["bias"]).astype(cfg.dtype)
-    y = jnp.dot(x2d.astype(cfg.dtype), site["kernel"],
-                preferred_element_type=jnp.float32)
-    return (y + site["bias"]).astype(cfg.dtype)
+        return quantized_matmul_w4(x2d.astype(jnp.float32), site["packed"],
+                                   site["scale"], site["grid"],
+                                   block_n=cfg.block_n,
+                                   interpret=cfg.interpret)
+    return jnp.dot(x2d.astype(cfg.dtype), site["kernel"],
+                   preferred_element_type=jnp.float32)
 
 
 def _ln(x, p, eps):

@@ -91,13 +91,44 @@ def engine_param_specs(cfg: eng.EngineConfig) -> Dict:
     return {"layers": layers, "top": top}
 
 
+def _repack_w4_row_shards(packed, tp: int):
+    """Re-pack a split-K packed (L, K/2, N) weight so each contiguous
+    row-shard is a self-contained per-shard split-K pack.
+
+    pack_w4 pairs global rows (r, r + K/2) in one byte; slicing the byte
+    rows across tp devices would hand each device bytes whose decoded
+    rows straddle other devices' activation slices. Unpack to codes,
+    split K into tp chunks, re-pack each chunk — after P(None, 'tp',
+    None) sharding, device d holds exactly pack(codes[d*K/tp:(d+1)*K/tp])
+    and the engine's local (M, 2, K_loc/2) activation reshape lines up."""
+    p = np.asarray(packed)
+    L, K2, N = p.shape
+    lo, hi = p & 0xF, p >> 4
+    codes = np.concatenate([lo, hi], axis=1)          # (L, K, N)
+    K_loc = (2 * K2) // tp
+    chunks = []
+    for d in range(tp):
+        c = codes[:, d * K_loc:(d + 1) * K_loc]
+        chunks.append(c[:, :K_loc // 2]
+                      | (c[:, K_loc // 2:] << 4))
+    return jnp.asarray(np.concatenate(chunks, axis=1).astype(np.uint8))
+
+
 def shard_engine_params(ep: Dict, cfg: eng.EngineConfig,
                         mesh: Mesh) -> Dict:
     """device_put the stacked engine params with TP shardings (fused-qkv
-    columns permuted per-shard first)."""
+    columns permuted per-shard first; split-K packed W4 re-packed so
+    row shards decode to the right K rows)."""
     tp = cfg.tp_size
     ep = dict(ep)
     layers = dict(ep["layers"])
+    if tp > 1:
+        for name in ("out", "fc_out"):
+            site = layers.get(name)
+            if site is not None and "packed" in site:
+                site = dict(site)
+                site["packed"] = _repack_w4_row_shards(site["packed"], tp)
+                layers[name] = site
     if cfg.lm.fused_qkv and tp > 1:
         perm = _qkv_permutation(cfg.lm.d_model, tp)
         site = dict(layers["qkv"])

@@ -135,3 +135,32 @@ def test_engine_w4a4_int8_matmul_matches_fake_quant_model():
     got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+
+def _randomize_biases(variables, seed=7):
+    """Flax init gives all-zero biases, which masked a double-bias bug;
+    perturb every bias so bias handling is actually exercised."""
+    import jax.tree_util as jtu
+    rng = np.random.default_rng(seed)
+
+    def bump(path, leaf):
+        if path[-1].key == "bias":
+            return leaf + jnp.asarray(
+                rng.normal(size=leaf.shape) * 0.1, leaf.dtype)
+        return leaf
+    return jtu.tree_map_with_path(bump, variables)
+
+
+def test_engine_nonzero_biases_match_model():
+    """Regression: _site_matmul once added the bias twice (invisible with
+    flax's zero-init biases)."""
+    cfg = _tiny()
+    model, ids, variables = _setup(cfg)
+    variables = _randomize_biases(variables)
+    want = model.apply(variables, ids)
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=False,
+                            max_seq=32, dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+    got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

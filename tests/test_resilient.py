@@ -91,3 +91,20 @@ def test_retry_gives_up_on_real_errors():
 
     with pytest.raises(ValueError):
         retry_transient(broken, retries=5, backoff_s=0.001)
+
+
+def test_fingerprint_mismatch_discards_journal(tmp_path):
+    path = str(tmp_path / "eval")
+    acc = ResumableAccumulator(path, init={"n": 0}, save_every=1,
+                               fingerprint="resnet18|int|w4a4")
+    acc.fold(0, {"n": 5})
+    acc.finalize()
+
+    # same config resumes...
+    same = ResumableAccumulator(path, init={"n": 0}, save_every=1,
+                                fingerprint="resnet18|int|w4a4")
+    assert same.next_index == 1 and same.state["n"] == 5
+    # ...different config starts fresh instead of serving stale results
+    other = ResumableAccumulator(path, init={"n": 0}, save_every=1,
+                                 fingerprint="resnet18|flint|w4a4")
+    assert other.next_index == 0 and other.state["n"] == 0

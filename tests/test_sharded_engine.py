@@ -124,3 +124,34 @@ def test_continuous_batching_over_tp_mesh():
     done = cb.run()
     assert len(done) == 2
     assert sorted(len(c.tokens) for c in done) == [3, 4]
+
+
+def test_tp_nonzero_biases_counted_once():
+    """Regression: under TP the row-parallel bias was once added per
+    shard AND after the psum (tp+1 times) — invisible with zero biases."""
+    from tests.test_engine import _randomize_biases
+    cfg = _cfg()
+    model = TransformerLM(cfg, QuantConfig(enabled=False))
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 8)))
+    variables = _randomize_biases(model.init(jax.random.PRNGKey(1), ids))
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", act_bits=0,
+                            kv_int8=False, max_seq=16, dtype=jnp.float32,
+                            interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+    got, want, _ = _run_pair(ecfg, ep, ids, 1, 4)
+    base = model.apply(variables, ids)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(want, np.asarray(base), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_w4pack_tp_matches_single():
+    """Split-K packed weights under TP: row shards are re-packed per
+    shard (regression for straddled byte rows)."""
+    cfg = _cfg()
+    qcfg = QuantConfig(mode="flint", family="ant",
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    ecfg, ep, ids = _setup(cfg, qcfg, weight_mode="w4pack", act_bits=0)
+    got, want, _ = _run_pair(ecfg, ep, ids, 1, 4)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)

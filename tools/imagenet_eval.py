@@ -104,9 +104,12 @@ def main():
             layer_list=args.layers8, log=log.info)
         variables["quant"] = quant
 
+    fp = (f"{args.model}|{args.mode}|w{args.wbit}a{args.abit}|"
+          f"{args.weights or 'random'}|{args.data_dir}")
     results = T.evaluate_classification(model, variables, batches(),
                                         log_every=10, logger=log.info,
-                                        journal=args.journal)
+                                        journal=args.journal,
+                                        journal_fingerprint=fp)
     results.update(model=args.model, mode=args.mode, wbit=args.wbit,
                    abit=args.abit)
     print(json.dumps(results, indent=2))
