@@ -176,3 +176,15 @@ def test_qa_features_flow(vocab_file):
     ctx = examples[0]["context"]
     spans = [ctx[a:b] for o in offs if o is not None for a, b in [o]]
     assert "fox" in spans
+
+
+def test_blank_vocab_line_ids_match_hf(tmp_path):
+    """A vocab.txt with an interior blank line: HF assigns ids by line
+    number (the blank costs a slot); ours must agree."""
+    transformers = pytest.importorskip("transformers")
+    p = tmp_path / "vocab.txt"
+    p.write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\nhello\n\nworld\nfoo\n")
+    hf = transformers.BertTokenizer(vocab_file=str(p))
+    mine = T.WordPieceTokenizer(str(p))
+    for tok in ("hello", "world", "foo", "[SEP]"):
+        assert mine.vocab[tok] == hf.vocab[tok], tok
