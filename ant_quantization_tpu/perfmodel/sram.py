@@ -50,6 +50,20 @@ def _py_leak(s, b, p):
     return v * _PORT_LEAK if p else v
 
 
+def _py_area(s, b, p):
+    a = 0.04606650594 * (s / 4096.0) ** 0.95
+    return a * 1.35 if p else a
+
+
+def sram_area_mm2(size_bytes: float, block_bytes: float = 64.0,
+                  ports: int = 0) -> float:
+    """Bank area, mm^2 (same fit as csrc/sram_model.cc:sram_area_mm2)."""
+    lib = _lib()
+    if lib is not None:
+        return lib.sram_area_mm2(size_bytes, block_bytes, ports)
+    return _py_area(size_bytes, block_bytes, ports)
+
+
 def sram_bank_model(size_bytes: float, block_bytes: float, ports: int):
     """(read nJ/access, write nJ/access, leak mW/bank)."""
     lib = _lib()
