@@ -51,6 +51,13 @@ class EngineConfig:
     weight_mode: str = "w4"        # "w4" | "w4pack" | "bf16"
     act_bits: int = 0              # 0 = no activation quant, else 4/8
     kv_int8: bool = True
+    # W8A8 lm_head/embedding: the tied wte is stored int8 with a
+    # per-vocab-row scale and the logits matmul runs int8 x int8 with a
+    # dynamic per-step absmax activation scale. Beyond-reference serving
+    # option (the reference always skips lm_head, olive quant_model.py:50,
+    # because *4-bit* would wreck it; symmetric W8A8 is logit-grade) —
+    # halves the HBM bytes of the largest non-layer stream.
+    lm_head_int8: bool = False
     max_seq: int = 2048
     block_n: int = 512
     dtype: Any = jnp.bfloat16
@@ -80,6 +87,43 @@ def _midpoint_snap(x: jax.Array, grid: jax.Array) -> jax.Array:
     for i in range(1, g.shape[0]):
         out = jnp.where(idx == i, g[i], out)
     return out
+
+
+def quantize_lm_head(wte: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-vocab-row int8 quantization of the tied embedding.
+
+    wte (V, D) f32 -> {"wte_i8": (V, D) int8, "wte_scale": (V,) f32} with
+    wte ~= wte_i8 * wte_scale[:, None].
+    """
+    s = jnp.maximum(jnp.max(jnp.abs(wte), axis=1), 1e-12) / 127.0
+    w_i8 = jnp.clip(jnp.round(wte / s[:, None]), -127, 127).astype(jnp.int8)
+    return {"wte_i8": w_i8, "wte_scale": s.astype(jnp.float32)}
+
+
+def _embed(top: Dict, ids: jax.Array, dtype) -> jax.Array:
+    if "wte_i8" in top:
+        return (top["wte_i8"][ids].astype(dtype)
+                * top["wte_scale"][ids][..., None].astype(dtype))
+    return top["wte"][ids]
+
+
+def _lm_logits(top: Dict, x: jax.Array) -> jax.Array:
+    """Tied-embedding logits: x (B, T, D) @ wte.T -> (B, T, V) f32.
+
+    int8 path: dynamic per-call absmax scale on x, int8 x int8 MXU dot,
+    rescale by (x_scale * row_scale) — one int8-width read of the largest
+    non-layer weight stream instead of bf16."""
+    if "wte_i8" not in top:
+        return jnp.dot(x, top["wte"].T, preferred_element_type=jnp.float32)
+    xf = x.astype(jnp.float32)
+    x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    B, T, D = xq.shape
+    acc = jax.lax.dot_general(
+        xq.reshape(B * T, D), top["wte_i8"],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32).reshape(B, T, -1)
+            * (x_scale * top["wte_scale"])[None, None, :])
 
 
 def quantize_activation(x: jax.Array, grid16: jax.Array,
@@ -152,8 +196,13 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
         layers.append(lay)
 
     stacked = _stack(layers)
-    top = {"wte": jnp.asarray(params["wte"]["embedding"], cfg.dtype),
-           "ln_f": params["ln_f"]}
+    if cfg.lm_head_int8:
+        top = dict(quantize_lm_head(
+            jnp.asarray(params["wte"]["embedding"], jnp.float32)))
+        top["ln_f"] = params["ln_f"]
+    else:
+        top = {"wte": jnp.asarray(params["wte"]["embedding"], cfg.dtype),
+               "ln_f": params["ln_f"]}
     if "wpe" in params:
         top["wpe"] = jnp.asarray(params["wpe"]["embedding"], cfg.dtype)
     if "embed_ln" in params:
@@ -280,7 +329,7 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
     pos_in = jnp.asarray(pos0)  # scalar keeps the fast contiguous KV write
     pos0 = jnp.broadcast_to(pos_in, (B,))
     positions = pos0[:, None] + jnp.arange(T)[None, :]      # (B, T)
-    x = ep["top"]["wte"][ids]
+    x = _embed(ep["top"], ids, cfg.dtype)
     if c.positions == "learned":
         x = x + ep["top"]["wpe"][positions]
     elif c.positions == "learned_offset2":
@@ -333,9 +382,7 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
 
     x, kv = jax.lax.scan(layer, x, (ep["layers"], kv))
     x = _ln(x, ep["top"]["ln_f"], c.ln_eps)
-    logits = jnp.dot(x, ep["top"]["wte"].T,
-                     preferred_element_type=jnp.float32)
-    return logits, kv
+    return _lm_logits(ep["top"], x), kv
 
 
 def init_cache(cfg: EngineConfig, batch: int):

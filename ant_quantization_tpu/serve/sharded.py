@@ -87,7 +87,11 @@ def engine_param_specs(cfg: eng.EngineConfig) -> Dict:
         layers[site] = _site_specs(site, col=site not in ("out", "fc_out"))
     layers["ln_1"] = {"scale": P(), "bias": P()}
     layers["ln_2"] = {"scale": P(), "bias": P()}
-    top = {"wte": P(), "ln_f": {"scale": P(), "bias": P()}}
+    if cfg.lm_head_int8:
+        top = {"wte_i8": P(), "wte_scale": P(),
+               "ln_f": {"scale": P(), "bias": P()}}
+    else:
+        top = {"wte": P(), "ln_f": {"scale": P(), "bias": P()}}
     return {"layers": layers, "top": top}
 
 

@@ -91,13 +91,19 @@ def _rand_engine_params(cfg: eng.EngineConfig, key):
                       "bias": jnp.zeros((L, c.d_model), jnp.float32)}
         layers["ln_1"], layers["ln_2"] = ln(), ln()
         top = {
-            "wte": jax.random.normal(ks[-2], (c.vocab_size, c.d_model),
-                                     cfg.dtype) * 0.02,
             "wpe": jax.random.normal(ks[-1], (c.max_seq + 2, c.d_model),
                                      cfg.dtype) * 0.02,
             "ln_f": {"scale": jnp.ones((c.d_model,), jnp.float32),
                      "bias": jnp.zeros((c.d_model,), jnp.float32)},
         }
+        if cfg.lm_head_int8:
+            top["wte_i8"] = jax.random.randint(
+                ks[-2], (c.vocab_size, c.d_model), -127, 128, jnp.int8)
+            top["wte_scale"] = jnp.full(
+                (c.vocab_size,), 0.02 / 127.0, jnp.float32)
+        else:
+            top["wte"] = jax.random.normal(
+                ks[-2], (c.vocab_size, c.d_model), cfg.dtype) * 0.02
         return {"layers": layers, "top": top}
 
     return build(key)
@@ -154,8 +160,9 @@ def _bench(cfg: eng.EngineConfig, label: str) -> float:
 def main():
     from ant_quantization_tpu.utils.profiling import (maybe_trace,
                                                       profile_dir_from_env)
-    qcfg = eng.EngineConfig(lm=LM, weight_mode="w4", act_bits=4,
-                            kv_int8=True, max_seq=MAX_SEQ)
+    qcfg = eng.EngineConfig(
+        lm=LM, weight_mode="w4", act_bits=4, kv_int8=True, max_seq=MAX_SEQ,
+        lm_head_int8=os.environ.get("BENCH_LM_HEAD_INT8", "1") == "1")
     bcfg = eng.EngineConfig(lm=LM, weight_mode="bf16", act_bits=0,
                             kv_int8=False, max_seq=MAX_SEQ)
     with maybe_trace(profile_dir_from_env()):

@@ -164,3 +164,37 @@ def test_engine_nonzero_biases_match_model():
     got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_engine_int8_lm_head_logit_parity():
+    """W8A8 tied lm_head + int8 embedding: logits track the bf16 engine to
+    sub-percent error and agree on the argmax token."""
+    cfg = _tiny(fused=False, positions="learned_offset2", activation="relu")
+    model, ids, variables = _setup(cfg)
+    base = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=False,
+                            max_seq=32, dtype=jnp.float32, interpret=True)
+    q = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=False,
+                         max_seq=32, dtype=jnp.float32, interpret=True,
+                         lm_head_int8=True)
+    ep_b = eng.build_engine_params(base, variables["params"])
+    ep_q = eng.build_engine_params(q, variables["params"])
+    assert "wte_i8" in ep_q["top"] and "wte" not in ep_q["top"]
+    want, _ = eng.forward(base, ep_b, ids, eng.init_cache(base, 2), 0)
+    got, _ = eng.forward(q, ep_q, ids, eng.init_cache(q, 2), 0)
+    w, g = np.asarray(want), np.asarray(got)
+    # logits are O(1); int8 rounding on both weight rows and activations
+    scale = np.maximum(np.abs(w).max(), 1.0)
+    assert np.max(np.abs(w - g)) / scale < 0.03, np.max(np.abs(w - g))
+    np.testing.assert_array_equal(w.argmax(-1), g.argmax(-1))
+
+
+def test_quantize_lm_head_roundtrip():
+    rng = np.random.default_rng(0)
+    wte = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32)) * 0.05
+    top = eng.quantize_lm_head(wte)
+    deq = (np.asarray(top["wte_i8"], np.float32)
+           * np.asarray(top["wte_scale"])[:, None])
+    err = np.abs(deq - np.asarray(wte)).max(axis=1)
+    rowmax = np.abs(np.asarray(wte)).max(axis=1)
+    assert (err <= rowmax / 127.0 * 0.51 + 1e-8).all()
+    assert top["wte_i8"].dtype == jnp.int8

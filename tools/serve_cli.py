@@ -73,6 +73,9 @@ def parse_args(argv=None):
     p.add_argument("--weight_mode", default="w4",
                    choices=("w4", "w4pack", "bf16"))
     p.add_argument("--no_kv_int8", action="store_true")
+    p.add_argument("--lm_head_int8", action="store_true",
+                   help="store the tied lm_head/embedding int8 (W8A8 "
+                        "logits matmul; beyond-reference serving option)")
     p.add_argument("--save_engine", default=None,
                    help="directory: save the calibrated+packed engine")
     p.add_argument("--load_engine", default=None,
@@ -89,7 +92,8 @@ def save_engine(path: str, cfg: eng.EngineConfig, ep) -> None:
     lm["dtype"] = np.dtype(lm["dtype"]).name     # jnp dtype -> "float32"
     meta = {"lm": lm,
             "weight_mode": cfg.weight_mode, "act_bits": cfg.act_bits,
-            "kv_int8": cfg.kv_int8, "max_seq": cfg.max_seq}
+            "kv_int8": cfg.kv_int8, "max_seq": cfg.max_seq,
+            "lm_head_int8": cfg.lm_head_int8}
     with open(os.path.join(path, "engine.json"), "w") as f:
         json.dump(meta, f)
     save_checkpoint(os.path.join(path, "ep"), ep)
@@ -106,7 +110,8 @@ def load_engine(path: str):
     cfg = eng.EngineConfig(lm=lm, weight_mode=meta["weight_mode"],
                            act_bits=meta["act_bits"],
                            kv_int8=meta["kv_int8"],
-                           max_seq=meta["max_seq"])
+                           max_seq=meta["max_seq"],
+                           lm_head_int8=meta.get("lm_head_int8", False))
     ep = restore_checkpoint(os.path.join(path, "ep"))
     return cfg, ep
 
@@ -155,7 +160,8 @@ def main(argv=None):
                                            log=log.info)
         ecfg = eng.EngineConfig(
             lm=cfg, weight_mode=args.weight_mode, act_bits=args.abit,
-            kv_int8=not args.no_kv_int8, max_seq=args.max_seq)
+            kv_int8=not args.no_kv_int8, max_seq=args.max_seq,
+            lm_head_int8=args.lm_head_int8)
         ep = eng.build_engine_params(ecfg, variables["params"], quant)
         if args.save_engine:
             save_engine(args.save_engine, ecfg, ep)
