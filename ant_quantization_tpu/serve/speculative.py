@@ -1,0 +1,132 @@
+"""Speculative decoding over the quantized serving engine.
+
+Beyond-reference serving capability (the reference's LLM path is HF
+Trainer eval, olive llm/run_clm.py — no decoding loop at all): a small
+draft engine proposes ``k`` greedy tokens, the target engine scores all
+k+1 positions in ONE forward (T = k+1 stays on the fused INT8-KV decode
+attention path, engine._attention's T <= 16 branch), and the longest
+prefix of draft tokens matching the target's greedy choices is accepted,
+plus the target's correction token. Greedy-to-greedy this is *lossless*:
+the emitted stream is bit-identical to decoding the target alone
+(tests/test_speculative.py asserts exact equality), while each target
+forward now amortizes its weight streaming over up to k+1 tokens — on a
+HBM-bound W4 engine that is the difference between one weight read per
+token and one per accepted run.
+
+Cache discipline: both engines write K/V rows for speculative positions
+that may be rejected. That is safe for the same reason the continuous-
+batching scheduler's padded prefill is (serve/scheduler.py): the causal
+mask admits only rows <= the query position, and every later decode at
+position p overwrites row p before attending it — rejected rows are
+always overwritten before they become visible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine as eng
+
+__all__ = ["SpeculativeDecoder"]
+
+
+class SpeculativeDecoder:
+    """Greedy draft-and-verify decoding: draft engine + target engine.
+
+    Both engines must share the vocabulary; ``k`` is the speculation
+    depth (k + 1 <= 16 keeps verification on the fused decode kernel).
+    """
+
+    def __init__(self, target_cfg: eng.EngineConfig, target_ep: Dict,
+                 draft_cfg: eng.EngineConfig, draft_ep: Dict, k: int = 4):
+        assert 1 <= k <= 15, "k+1 must stay on the decode attention path"
+        assert target_cfg.lm.vocab_size == draft_cfg.lm.vocab_size
+        self.tcfg, self.tep = target_cfg, target_ep
+        self.dcfg, self.dep = draft_cfg, draft_ep
+        self.k = k
+
+        @jax.jit
+        def prefill(tep, dep, kv_t, kv_d, ids):
+            zero = jnp.zeros((ids.shape[0],), jnp.int32)
+            lt, kv_t = eng.forward(target_cfg, tep, ids, kv_t, zero)
+            _, kv_d = eng.forward(draft_cfg, dep, ids, kv_d, zero)
+            last = jnp.argmax(lt[:, -1:], axis=-1).astype(jnp.int32)
+            return kv_t, kv_d, last
+
+        @jax.jit
+        def step(tep, dep, kv_t, kv_d, last, pos):
+            """One speculation round.
+
+            last (B, 1): newest emitted token, K/V not yet cached.
+            pos  (B,):   its cache row.
+            Returns (kv_t, kv_d, out (B, k+1), n_out (B,), last', pos').
+            """
+            B = last.shape[0]
+
+            def body(carry, i):
+                tok, kv_d_ = carry
+                ld, kv_d_ = eng.forward(draft_cfg, dep, tok, kv_d_, pos + i)
+                nxt = jnp.argmax(ld[:, -1:], axis=-1).astype(jnp.int32)
+                return (nxt, kv_d_), nxt[:, 0]
+
+            # k+1 draft steps: k proposals + caching the k-th proposal's
+            # K/V (its output token is discarded)
+            (_, kv_d), drafts = jax.lax.scan(body, (last, kv_d),
+                                             jnp.arange(self.k + 1))
+            drafts = drafts.T[:, :self.k]                     # (B, k)
+            ids = jnp.concatenate([last, drafts], axis=1)     # (B, k+1)
+            lt, kv_t = eng.forward(target_cfg, tep, ids, kv_t, pos)
+            tgt = jnp.argmax(lt, axis=-1).astype(jnp.int32)   # (B, k+1)
+            match = (drafts == tgt[:, :self.k]).astype(jnp.int32)
+            m = jnp.cumprod(match, axis=1).sum(axis=1)        # (B,) accepted
+            # emitted stream: drafts[:m] then the correction token tgt[m]
+            # (positions past m are don't-cares, truncated by n_out)
+            idx = jnp.arange(self.k + 1)[None, :]
+            corr = tgt[jnp.arange(B), m][:, None]
+            out = jnp.where(idx < m[:, None],
+                            jnp.pad(drafts, ((0, 0), (0, 1))), corr)
+            n_out = m + 1
+            last2 = tgt[jnp.arange(B), m][:, None]
+            return kv_t, kv_d, out, n_out, last2, pos + n_out
+
+        self._prefill = prefill
+        self._step = step
+
+    def generate(self, prompt_ids: np.ndarray, max_new_tokens: int,
+                 eos_id: Optional[int] = None) -> List[List[int]]:
+        """Greedy-decode ``max_new_tokens`` per sequence; returns the
+        emitted token lists (identical to target-only greedy decoding)."""
+        B, T = prompt_ids.shape
+        kv_t = eng.init_cache(self.tcfg, B)
+        kv_d = eng.init_cache(self.dcfg, B)
+        kv_t, kv_d, last = self._prefill(self.tep, self.dep, kv_t, kv_d,
+                                         jnp.asarray(prompt_ids))
+        out: List[List[int]] = [[int(np.asarray(last)[b, 0])]
+                                for b in range(B)]
+        pos = jnp.full((B,), T, jnp.int32)
+        limit = min(self.tcfg.max_seq, self.dcfg.max_seq)
+        self.accepted_hist: List[int] = []
+        while (any(len(o) < max_new_tokens for o in out)
+               and int(np.asarray(pos).max()) + self.k + 1 < limit):
+            kv_t, kv_d, toks, n_out, last, pos = self._step(
+                self.tep, self.dep, kv_t, kv_d, last, pos)
+            toks, n = np.asarray(toks), np.asarray(n_out)
+            self.accepted_hist.append(int(n.sum() - len(n)))
+            for b in range(B):
+                if len(out[b]) >= max_new_tokens:
+                    continue
+                if eos_id is not None and eos_id in out[b]:
+                    continue
+                out[b].extend(int(t) for t in toks[b, :n[b]])
+        for b in range(B):
+            o = out[b][:max_new_tokens]
+            if eos_id is not None and eos_id in o:
+                o = o[:o.index(eos_id) + 1]
+            out[b] = o
+        return out
