@@ -311,7 +311,11 @@ def quantize_weights_w4_i8(w: jax.Array, grid: jax.Array,
     scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1), (w.shape[1],))
              / vmax).astype(jnp.float32)
     codes = snap_codes(w / scale[None, :], jnp.asarray(g16, jnp.float32))
-    w_i8 = jnp.asarray(q16)[codes]
+    # select tree over the 16 static codebook values — no gather (TPU
+    # gathers route through the scalar core; see ops/snap.py)
+    w_i8 = jnp.full(codes.shape, int(q16[0]), jnp.int8)
+    for i in range(1, q16.shape[0]):
+        w_i8 = jnp.where(codes == i, np.int8(q16[i]), w_i8)
     return w_i8, scale * np.float32(unit)
 
 

@@ -11,10 +11,15 @@ shared-memory codebook per element. Two behavioral rules are replicated:
    kernel allocates but never fills the index; here it is real, because the
    TPU engine stores packed codes).
 
-Instead of an O(G) scan per element, ``snap`` uses a vectorized binary
-search (jnp.searchsorted, O(log G)): with a sorted grid the nearest entry is
-one of the two neighbors of the insertion point, and the tie rule picks the
-right neighbor. XLA lowers this to a handful of fused VPU ops. A broadcast
+Implementation note (TPU): gathers and jnp.searchsorted route through the
+scalar core / giant select lowering and are catastrophically slow at model
+shapes — a per-channel 4-D weight snap through searchsorted + ``grid[codes]``
+costs hundreds of ms where the arithmetic is microseconds. So every snap here
+is pure VPU compare/select against the G-1 *midpoints* of the sorted grid:
+``codes = sum_i [x >= mid_i]`` and the dequantized value is a select tree
+(static G <= 33) or a lax.scan accumulation (the 8-bit 256-entry grids) — no
+gathers anywhere. ``x >= (g_lo+g_hi)/2`` is exactly the CUDA kernel's
+``d_hi <= d_lo`` tie-to-larger rule (quant_kernel.cu:29-36). A broadcast
 compare variant (``snap_bruteforce``) is kept as the oracle for tests.
 """
 
@@ -25,24 +30,65 @@ import jax.numpy as jnp
 
 __all__ = ["snap", "snap_codes", "snap_bruteforce", "snap_concat"]
 
+_UNROLL_MAX = 33   # grids up to this many entries use fully-unrolled trees
+
+
+def _midpoint_codes(x: jax.Array, grid: jax.Array,
+                    tie_hi=None) -> jax.Array:
+    """codes = #{i : x > mid_i, or x == mid_i and tie_hi[i]} (tie_hi=None
+    means always take the larger neighbor on exact midpoint ties)."""
+    mids = (grid[1:] + grid[:-1]) * 0.5
+    G = grid.shape[0]
+    if G <= _UNROLL_MAX:
+        idx = jnp.zeros(x.shape, jnp.int32)
+        for i in range(G - 1):
+            if tie_hi is None:
+                take = x >= mids[i]
+            else:
+                take = (x > mids[i]) | ((x == mids[i]) & tie_hi[i])
+            idx = idx + take.astype(jnp.int32)
+        return idx
+
+    def body(idx, im):
+        m, th = im
+        take = (x >= m) if tie_hi is None else \
+            ((x > m) | ((x == m) & th))
+        return idx + take.astype(jnp.int32), None
+
+    th = jnp.ones((G - 1,), bool) if tie_hi is None else tie_hi
+    idx, _ = jax.lax.scan(body, jnp.zeros(x.shape, jnp.int32), (mids, th))
+    return idx
+
+
+def _dequant(codes: jax.Array, grid: jax.Array, dtype) -> jax.Array:
+    """grid[codes] without a gather: select tree / scan accumulation."""
+    g = grid.astype(dtype)
+    G = grid.shape[0]
+    if G <= _UNROLL_MAX:
+        out = jnp.full(codes.shape, g[0], dtype)
+        for i in range(1, G):
+            out = jnp.where(codes == i, g[i], out)
+        return out
+
+    def body(out, ig):
+        i, gi = ig
+        return jnp.where(codes == i, gi, out), None
+
+    out, _ = jax.lax.scan(body, jnp.full(codes.shape, g[0], dtype),
+                          (jnp.arange(1, G), g[1:]))
+    return out
+
 
 def snap_codes(x: jax.Array, grid: jax.Array) -> jax.Array:
     """Return the index into ``grid`` (sorted ascending) of the nearest entry
     to each element of ``x``, ties going to the larger grid value."""
-    grid = grid.astype(x.dtype)
-    idx = jnp.searchsorted(grid, x, side="left")
-    lo = jnp.clip(idx - 1, 0, grid.shape[0] - 1)
-    hi = jnp.clip(idx, 0, grid.shape[0] - 1)
-    d_lo = jnp.abs(x - grid[lo])
-    d_hi = jnp.abs(x - grid[hi])
-    return jnp.where(d_hi <= d_lo, hi, lo)
+    return _midpoint_codes(x, grid.astype(x.dtype))
 
 
 def snap(x: jax.Array, grid: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Snap ``x`` onto ``grid``; returns (dequantized, codes)."""
-    grid = grid.astype(x.dtype)
     codes = snap_codes(x, grid)
-    return grid[codes], codes
+    return _dequant(codes, grid, x.dtype), codes
 
 
 def snap_bruteforce(x: jax.Array, grid: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -71,11 +117,8 @@ def snap_concat(x: jax.Array, grid: jax.Array) -> tuple[jax.Array, jax.Array]:
     grid = grid.astype(x.dtype)
     order = jnp.argsort(grid, stable=True)   # original concat positions
     sg = grid[order]
-    idx = jnp.searchsorted(sg, x, side="left")
-    lo = jnp.clip(idx - 1, 0, sg.shape[0] - 1)
-    hi = jnp.clip(idx, 0, sg.shape[0] - 1)
-    d_lo = jnp.abs(x - sg[lo])
-    d_hi = jnp.abs(x - sg[hi])
-    take_hi = (d_hi < d_lo) | ((d_hi == d_lo) & (order[hi] >= order[lo]))
-    codes = jnp.where(take_hi, hi, lo)
-    return sg[codes], codes
+    # per-midpoint tie direction: at the midpoint of (sg[i], sg[i+1]) the
+    # CUDA scan keeps whichever appeared later in the concatenation
+    tie_hi = order[1:] >= order[:-1]
+    codes = _midpoint_codes(x, sg, tie_hi=tie_hi)
+    return _dequant(codes, sg, x.dtype), codes
