@@ -97,12 +97,20 @@ def _variables(state: TrainState) -> Dict[str, Any]:
 
 
 def make_classification_step(model, tx: optax.GradientTransformation,
-                             has_batch_stats: bool = False):
-    """Jitted (state, images, labels) -> (state, loss). Softmax CE."""
+                             has_batch_stats: bool = False,
+                             grad_accum: int = 1):
+    """Jitted (state, images, labels) -> (state, loss). Softmax CE.
+
+    ``grad_accum`` > 1 splits the batch into that many microbatches and
+    accumulates gradients in a lax.scan — peak activation memory drops by
+    ~grad_accum at identical numerics (mean-of-means; the reference's
+    BERT harness has the same gradient_accumulation_steps knob,
+    run_glue.py:161-165). Batch must divide evenly.
+    """
 
     @jax.jit
     def step(params, quant, extra, opt_state, images, labels):
-        def loss_fn(params):
+        def loss_fn(params, extra, images, labels):
             variables = {"params": params, **extra}
             if quant is not None:
                 variables["quant"] = quant
@@ -117,8 +125,29 @@ def make_classification_step(model, tx: optax.GradientTransformation,
                 logits, labels).mean()
             return loss, new_extra
 
-        (loss, new_extra), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        if grad_accum == 1:
+            (loss, new_extra), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, extra, images, labels)
+        else:
+            B = images.shape[0]
+            assert B % grad_accum == 0, (B, grad_accum)
+            mb = B // grad_accum
+            im = images.reshape(grad_accum, mb, *images.shape[1:])
+            lb = labels.reshape(grad_accum, mb, *labels.shape[1:])
+
+            def micro(carry, batch):
+                g_acc, l_acc, extra = carry
+                (loss, extra), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, extra, *batch)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + loss, extra), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (grads, loss, new_extra), _ = jax.lax.scan(
+                micro, (zeros, 0.0, extra), (im, lb))
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_extra, opt_state, loss

@@ -148,3 +148,34 @@ def test_cifar_pipeline(tmp_path):
     aug = list(D.cifar_batches(str(tmp_path), "cifar100", "train",
                                batch_size=16, augment=True))
     assert aug[0][0].shape == (16, 32, 32, 3)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum microbatching: identical update to the full-batch step
+    (mean-of-means; SGD)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from ant_quantization_tpu.harness import train as T
+    from ant_quantization_tpu.models.cnn import AlexNet
+    from ant_quantization_tpu.nn.config import QuantConfig
+
+    model = AlexNet(QuantConfig(enabled=False), num_classes=10)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, (4,)))
+    variables = model.init(jax.random.PRNGKey(0), images[:1])
+    tx = optax.sgd(0.1)
+    s0 = T.TrainState(variables["params"], None, tx.init(variables["params"]),
+                      {})
+    full = T.make_classification_step(model, tx)
+    acc = T.make_classification_step(model, tx, grad_accum=2)
+    s1, l1 = full(s0, images, labels)
+    s2, l2 = acc(s0, images, labels)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s1.params)
+    b = jax.tree_util.tree_leaves(s2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-6)

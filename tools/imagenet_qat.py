@@ -61,6 +61,9 @@ def parse_args():
     p.add_argument("--a_low", "-al", type=int, default=75)
     p.add_argument("--a_up", "-au", type=int, default=150)
     p.add_argument("--n8", type=int, default=0)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per step (memory saver; numerics "
+                        "identical, mean-of-means)")
     p.add_argument("--layers8", "-l8", default=None)
     p.add_argument("--ckpt_dir", default="checkpoints/qat")
     p.add_argument("--resume", action="store_true")
@@ -128,7 +131,8 @@ def main():
         start_epoch = int(tree.get("epoch", 0)) + 1
         log.info("resumed from epoch %d", start_epoch - 1)
 
-    step_fn = T.make_classification_step(model, tx, has_batch_stats=has_bn)
+    step_fn = T.make_classification_step(model, tx, has_batch_stats=has_bn,
+                                         grad_accum=args.grad_accum)
     for epoch in range(start_epoch, args.epochs):
         for i, (images, labels) in enumerate(train_batches(epoch)):
             state, loss = step_fn(state, jnp.asarray(images),
