@@ -24,30 +24,56 @@ from . import metrics as M
 __all__ = ["calibrate_on_batches", "lm_perplexity", "glue_eval"]
 
 
+def _reset_initialized(tree):
+    """Set initialized=False on every QuantState (forces recalibration;
+    promoted bits stay sticky — see nn/layers._QuantSite)."""
+    from ..calibrate.spec import QuantState
+    if isinstance(tree, QuantState):
+        return tree.replace(initialized=jnp.asarray(False))
+    if isinstance(tree, dict):
+        return {k: _reset_initialized(v) for k, v in tree.items()}
+    return tree
+
+
 def calibrate_on_batches(model, variables: Dict[str, Any],
                          batches: Iterable[tuple], n8: int = 0,
                          layer_list: Optional[str] = None,
                          on_cpu: bool = True,
+                         recalibrate_each: bool = False,
                          log: Optional[Callable[[str], None]] = None,
                          **apply_kwargs) -> Dict[str, Any]:
-    """Run the calibration pass over a batch stream; keep the *last* batch's
-    states (each batch recalibrates from scratch, like the reference where
-    every quantize_batch forward re-enters _init_quant_para only once —
-    with multiple batches the reference accumulates only via alpha
-    averaging across DP ranks; sequential recalibration on the final batch
-    is the single-process analog). Optionally promote to 8-bit + recal."""
+    """Run the calibration pass over a batch stream.
+
+    Default semantics match the reference exactly: every quantizer
+    calibrates on the **first** batch it sees and is frozen afterwards
+    (the ``has_inited_quant_para`` short-circuit, olive
+    quant_modules.py:261, ant :468-470) — later batches of the stream run
+    forward but change no state, like the reference's
+    ``quantize_batch_size`` loop (olive bert/run_glue.py:539-546).
+
+    ``recalibrate_each=True`` is an explicit opt-in divergence: each batch
+    recalibrates from scratch and the *last* batch's states win.
+
+    Optional 8-bit promotion (``n8`` / ``layer_list``) resets the
+    initialized flags (reference quant_model.py:102) and recalibrates on
+    the first batch of the stream (the reference recalibrates on whatever
+    forward comes next — its first eval batch; using the calibration
+    batch keeps the state a pure function of the calibration stream)."""
     variables = dict(variables)
     quant = variables.get("quant")
-    last = None
+    first = None
     for i, batch in enumerate(batches):
         if quant is not None:
+            if recalibrate_each:
+                quant = _reset_initialized(quant)
             variables["quant"] = quant
         _, quant = calibrate_model(model, variables, *batch,
                                    on_cpu=on_cpu, **apply_kwargs)
-        last = batch
+        if first is None:
+            first = batch
         if log:
             log(f"calibration batch {i + 1} done")
-    assert last is not None, "empty calibration stream"
+    assert first is not None, "empty calibration stream"
     if layer_list:
         quant = set_8_bit_layer_l(quant, layer_list)
     elif n8 > 0:
@@ -55,7 +81,7 @@ def calibrate_on_batches(model, variables: Dict[str, Any],
     else:
         return quant
     variables["quant"] = quant
-    _, quant = calibrate_model(model, variables, *last,
+    _, quant = calibrate_model(model, variables, *first,
                                on_cpu=on_cpu, **apply_kwargs)
     if log:
         log(f"promoted {n8 or layer_list} sites to 8-bit + recalibrated")

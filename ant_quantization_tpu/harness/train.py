@@ -103,9 +103,13 @@ def make_classification_step(model, tx: optax.GradientTransformation,
 
     ``grad_accum`` > 1 splits the batch into that many microbatches and
     accumulates gradients in a lax.scan — peak activation memory drops by
-    ~grad_accum at identical numerics (mean-of-means; the reference's
-    BERT harness has the same gradient_accumulation_steps knob,
-    run_glue.py:161-165). Batch must divide evenly.
+    ~grad_accum (the reference's BERT harness has the same
+    gradient_accumulation_steps knob, run_glue.py:161-165). Batch must
+    divide evenly. Numerics are identical (mean-of-means) only for models
+    *without* batch statistics; with ``has_batch_stats=True`` (BN models
+    like resnet18) BN normalizes per-microbatch and updates running stats
+    once per microbatch, so activations and gradients differ from the
+    full-batch step.
     """
 
     @jax.jit

@@ -50,13 +50,28 @@ class _QuantSite:
         if not self.cfg.enabled:
             return x
         if self.calibrating:
-            # promotion is sticky: a state previously set to 8-bit stays
+            st = self.var.value
+            # freeze-after-first: an already-initialized state is never
+            # recalibrated — the reference's has_inited_quant_para
+            # short-circuit (ant quant_modules.py:468-470, olive :261).
+            # Promotion (calibrate/promote.py) resets the flag, which is
+            # the only sanctioned way to force recalibration.
+            # Promotion is sticky: a state previously set to 8-bit stays
             # 8-bit through recalibration (bit buffer persists in the
-            # reference checkpoints too)
-            promoted = (self.var.value.bit >= 8 if self.cfg.bit < 8
-                        else jnp.asarray(False))
-            self.var.value = calibrate_jit(x.astype(jnp.float32), self.cfg,
-                                           promoted=promoted)
+            # reference checkpoints too).
+            init = st.initialized
+            if isinstance(init, jax.core.Tracer):
+                promoted = (st.bit >= 8 if self.cfg.bit < 8
+                            else jnp.asarray(False))
+                new = calibrate_jit(x.astype(jnp.float32), self.cfg,
+                                    promoted=promoted)
+                self.var.value = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(init, a, b), st, new)
+            elif not bool(init):
+                promoted = (st.bit >= 8 if self.cfg.bit < 8
+                            else jnp.asarray(False))
+                self.var.value = calibrate_jit(x.astype(jnp.float32),
+                                               self.cfg, promoted=promoted)
         q = apply_quant(x.astype(jnp.float32), self.var.value, self.cfg)
         return q.astype(x.dtype)
 

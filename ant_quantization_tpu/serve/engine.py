@@ -41,6 +41,7 @@ from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
                                quantized_matmul_w4, quantize_weights_w4_i8)
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
+from ..ops.snap import snap as ops_snap
 from ..ops.snap import snap_codes
 
 
@@ -75,18 +76,11 @@ def _stack(trees):
 
 
 def _midpoint_snap(x: jax.Array, grid: jax.Array) -> jax.Array:
-    """Snap x onto a sorted grid via midpoint thresholds: G-1 broadcast
-    compares + select tree — no gathers, VPU-only. Ties at exact midpoints
-    go to the larger value (the CUDA kernel's rule)."""
-    g = grid.astype(x.dtype)
-    mids = (g[1:] + g[:-1]) * 0.5
-    idx = jnp.zeros(x.shape, jnp.int32)
-    for i in range(mids.shape[0]):
-        idx = idx + (x >= mids[i]).astype(jnp.int32)
-    out = jnp.full(x.shape, g[0], x.dtype)
-    for i in range(1, g.shape[0]):
-        out = jnp.where(idx == i, g[i], out)
-    return out
+    """Snap x onto a sorted grid — ops/snap.py's midpoint-threshold snap
+    (pure VPU compares/selects, ties to the larger value, the CUDA
+    kernel's rule). Large grids (the 256-entry A8 codebooks) take the
+    lax.scan accumulation path instead of inlining ~510 ops per site."""
+    return ops_snap(x, grid.astype(x.dtype))[0]
 
 
 def quantize_lm_head(wte: jax.Array) -> Dict[str, jax.Array]:
@@ -110,20 +104,24 @@ def _embed(top: Dict, ids: jax.Array, dtype) -> jax.Array:
 def _lm_logits(top: Dict, x: jax.Array) -> jax.Array:
     """Tied-embedding logits: x (B, T, D) @ wte.T -> (B, T, V) f32.
 
-    int8 path: dynamic per-call absmax scale on x, int8 x int8 MXU dot,
+    int8 path: dynamic *per-token* absmax scale on x, int8 x int8 MXU dot,
     rescale by (x_scale * row_scale) — one int8-width read of the largest
-    non-layer weight stream instead of bf16."""
+    non-layer weight stream instead of bf16. The per-token scale makes a
+    token's logits independent of the other tokens in the call (batch
+    neighbors, verify-window length), which keeps speculative decoding's
+    lossless guarantee intact when the target uses lm_head_int8."""
     if "wte_i8" not in top:
         return jnp.dot(x, top["wte"].T, preferred_element_type=jnp.float32)
     xf = x.astype(jnp.float32)
-    x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    x_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                          1e-12) / 127.0                        # (B, T, 1)
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     B, T, D = xq.shape
     acc = jax.lax.dot_general(
         xq.reshape(B * T, D), top["wte_i8"],
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32).reshape(B, T, -1)
-            * (x_scale * top["wte_scale"])[None, None, :])
+            * x_scale * top["wte_scale"][None, None, :])
 
 
 def quantize_activation(x: jax.Array, grid16: jax.Array,

@@ -23,6 +23,7 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 torch = pytest.importorskip("torch")
 
+import jax                                                 # noqa: E402
 import jax.numpy as jnp                                    # noqa: E402
 
 from ant_quantization_tpu.calibrate.search import (apply_quant,  # noqa: E402
@@ -351,3 +352,54 @@ def test_set_8_bit_layer_n_matches_reference(refmod, tmp_path):
     # with n=3 and the last-2 rule, exactly 3 sites are promoted and the
     # promoted non-tail site is the highest-MSE pair (pair 1: 3.0+0.2)
     assert our_bits == [4, 8, 8, 8]
+
+
+def test_two_batch_calibration_freezes_after_first(refmod):
+    """Feed two different batches through the calibration flow: the
+    reference's ``has_inited_quant_para`` short-circuit means all state
+    comes from batch 1 and batch 2 changes nothing (olive
+    quant_modules.py:261, ant :468-470). Our ``calibrate_on_batches``
+    must land on the identical state."""
+    rng = np.random.default_rng(7)
+    a = np.abs(rng.normal(size=(4, 32)).astype(np.float32))
+    b = np.abs(rng.normal(size=(4, 32)).astype(np.float32)) * 3.0
+
+    q = _ref_quantizer(refmod, "ant-int-pot-flint", 4, is_input=True)
+    q.tensor_forward(torch.from_numpy(a))     # calibrates
+    q.tensor_forward(torch.from_numpy(b))     # frozen: must be a no-op
+    ref_alpha = float(q.alpha)
+    assert int(q.has_inited_quant_para) == 1
+
+    import flax.linen as nn
+
+    from ant_quantization_tpu.harness.evaluate import calibrate_on_batches
+    from ant_quantization_tpu.nn.config import QuantConfig
+    from ant_quantization_tpu.nn.layers import QuantDense
+
+    class One(nn.Module):
+        qcfg: QuantConfig
+
+        @nn.compact
+        def __call__(self, x):
+            return QuantDense(8, self.qcfg, name="fc")(x)
+
+    qcfg = QuantConfig(mode="ant-int-pot-flint", wbit=4, abit=4)
+    m = One(qcfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(a))
+    variables = {"params": v["params"]}     # no quant: fresh calibration
+    quant = calibrate_on_batches(m, variables,
+                                 [(jnp.asarray(a),), (jnp.asarray(b),)])
+    st = quant["fc"]["input_q"]
+    np.testing.assert_allclose(float(st.alpha), ref_alpha,
+                               rtol=1e-5, atol=1e-6)
+    # and batch-1-only calibration gives the same state (freeze proof)
+    quant1 = calibrate_on_batches(m, variables, [(jnp.asarray(a),)])
+    st1 = quant1["fc"]["input_q"]
+    np.testing.assert_allclose(np.asarray(st.alpha), np.asarray(st1.alpha))
+    np.testing.assert_array_equal(np.asarray(st.grid),
+                                  np.asarray(st1.grid))
+    # the explicit opt-in divergence: last batch wins
+    quant2 = calibrate_on_batches(m, variables,
+                                  [(jnp.asarray(a),), (jnp.asarray(b),)],
+                                  recalibrate_each=True)
+    assert float(quant2["fc"]["input_q"].alpha) != ref_alpha

@@ -12,7 +12,7 @@ from ant_quantization_tpu.serve import engine as eng
 from ant_quantization_tpu.serve.speculative import SpeculativeDecoder
 
 
-def _mk(vocab, n_layers, d_model, seed, max_seq=64):
+def _mk(vocab, n_layers, d_model, seed, max_seq=64, lm_head_int8=False):
     cfg = LMConfig(vocab_size=vocab, d_model=d_model, n_layers=n_layers,
                    n_heads=4, d_ff=2 * d_model, max_seq=max_seq,
                    positions="learned", activation="gelu_new",
@@ -23,7 +23,7 @@ def _mk(vocab, n_layers, d_model, seed, max_seq=64):
     variables = model.init(jax.random.PRNGKey(seed), ids)
     ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=True,
                             max_seq=max_seq, dtype=jnp.float32,
-                            interpret=True)
+                            interpret=True, lm_head_int8=lm_head_int8)
     ep = eng.build_engine_params(ecfg, variables["params"])
     return ecfg, ep
 
@@ -71,6 +71,23 @@ def test_speculative_accepts_everything_when_draft_is_target():
     # all drafts accepted in every round: k accepted per (round, sequence)
     assert spec.accepted_hist, "no rounds ran"
     assert all(a == 3 * 2 for a in spec.accepted_hist), spec.accepted_hist
+
+
+def test_speculative_lossless_with_lm_head_int8():
+    """lm_head_int8 targets quantize logits activations with a *per-token*
+    absmax scale (serve/engine.py:_lm_logits), so the k+1-token verify
+    forward and the 1-token decode forward produce identical logits per
+    token — speculative decoding stays bit-identical to target-alone."""
+    vocab = 64
+    tcfg, tep = _mk(vocab, n_layers=2, d_model=32, seed=0,
+                    lm_head_int8=True)
+    dcfg, dep = _mk(vocab, n_layers=1, d_model=16, seed=1)
+    prompt = np.random.default_rng(5).integers(0, vocab, (2, 6))
+    n = 12
+    want = _greedy_reference(tcfg, tep, prompt, n)
+    spec = SpeculativeDecoder(tcfg, tep, dcfg, dep, k=3)
+    got = spec.generate(prompt, n)
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_speculative_eos_truncation():

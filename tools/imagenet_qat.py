@@ -63,7 +63,8 @@ def parse_args():
     p.add_argument("--n8", type=int, default=0)
     p.add_argument("--grad_accum", type=int, default=1,
                    help="microbatches per step (memory saver; numerics "
-                        "identical, mean-of-means)")
+                        "identical for BN-free models; BN stats become "
+                        "per-microbatch when > 1)")
     p.add_argument("--layers8", "-l8", default=None)
     p.add_argument("--ckpt_dir", default="checkpoints/qat")
     p.add_argument("--resume", action="store_true")
