@@ -98,3 +98,91 @@ def test_golden_energy_breakdown_vgg16(vgg_rows):
         for g, w, part in zip(got[accel], want,
                               ("static", "dram", "sram", "core")):
             assert abs(g - w) < 0.011, (accel, part, g, w)
+
+
+# ---------------------------------------------------------------------------
+# Full golden lock: EVERY cell of the reference's ant_res.csv
+# (ant_simulator/results/ant_res.csv, per ant_simulator/README.md:28-32):
+# normalized cycles (line "Time") + the 4-part energy breakdown
+# (Static/Dram/Buffer/Core) for all 8 nets x all published accelerators —
+# 42 columns, 210 values, each within the CSV's own 2-decimal rounding.
+# ---------------------------------------------------------------------------
+
+import os
+
+_GOLDEN_CSV = "/root/reference/ant_simulator/results/ant_res.csv"
+
+_NET_NAMES = {"VGG16": "vgg16", "ResNet18": "resnet18",
+              "ResNet50": "resnet50", "InceptionV3": "inceptionv3",
+              "ViT": "vit", "BERT-MNLI": "mnli", "BERT-CoLA": "cola",
+              "BERT-SST-2": "sst_2"}
+_ACCEL_NAMES = {"ANT-OS": "ant_os", "ANT-WS": "ant_ws",
+                "BitFusion": "bitfusion", "OLAccel": "olaccel",
+                "BiScaled": "biscaled", "AdaFloat": "adafloat"}
+
+
+def _load_golden():
+    lines = open(_GOLDEN_CSV).read().strip().split("\n")
+    nets_hdr = [c.strip() for c in lines[0].split(",")]
+    accel_hdr = [c.strip() for c in lines[1].split(",")]
+    cur, net_for_col = "", []
+    for c in nets_hdr:
+        if c:
+            cur = c
+        net_for_col.append(cur)
+    rowmap = {}
+    for ln in lines[2:]:
+        cells = [c.strip() for c in ln.split(",")]
+        if cells and cells[0] in ("Time", "Static", "Dram", "Buffer",
+                                  "Core"):
+            rowmap[cells[0]] = cells
+    golden = {}
+    for i, (n, a) in enumerate(zip(net_for_col, accel_hdr)):
+        if n not in _NET_NAMES or a not in _ACCEL_NAMES:
+            continue
+        golden[(_NET_NAMES[n], _ACCEL_NAMES[a])] = {
+            "norm_cycles": float(rowmap["Time"][i]),
+            "static": float(rowmap["Static"][i]),
+            "dram": float(rowmap["Dram"][i]),
+            "sram": float(rowmap["Buffer"][i]),
+            "core": float(rowmap["Core"][i]),
+        }
+    return golden
+
+
+@pytest.fixture(scope="module")
+def all_rows():
+    return {(r["network"], r["accel"]): r for r in normalized_results()}
+
+
+@pytest.mark.skipif(not os.path.exists(_GOLDEN_CSV),
+                    reason="reference golden CSV not available")
+@pytest.mark.parametrize("net", list(_NET_NAMES.values()))
+def test_golden_all_cells(all_rows, net):
+    golden = _load_golden()
+    keys = [k for k in golden if k[0] == net]
+    assert keys, net
+    for key in keys:
+        got, want = all_rows[key], golden[key]
+        for part in ("norm_cycles", "static", "dram", "sram", "core"):
+            # golden CSV is rounded to 2 decimals: exact-to-rounding is
+            # |err| < 0.005 + float slack
+            assert abs(got[part] - want[part]) < 0.0051, \
+                (key, part, got[part], want[part])
+
+
+def test_golden_geomean_cycles(all_rows):
+    """Figure-13 headline geomean column (SURVEY.md section 6):
+    0.25/0.25/0.70/0.81/1.00 (BiScaled 0.37 over its 2 nets)."""
+    import math
+
+    def geomean(accel, nets):
+        vals = [all_rows[(n, accel)]["norm_cycles"] for n in nets]
+        return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+    nets = list(_NET_NAMES.values())
+    for accel, want in [("ant_os", 0.25), ("ant_ws", 0.25),
+                        ("bitfusion", 0.70), ("olaccel", 0.81),
+                        ("adafloat", 1.00)]:
+        assert abs(geomean(accel, nets) - want) < 0.011, accel
+    assert abs(geomean("biscaled", ["vgg16", "resnet50"]) - 0.37) < 0.011
