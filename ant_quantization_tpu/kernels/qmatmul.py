@@ -307,7 +307,10 @@ def quantize_weights_w4_i8(w: jax.Array, grid: jax.Array,
     """
     g16 = np.asarray(grid).reshape(-1)[:16]
     q16, unit, _ = int8_codebook(g16)
-    vmax = float(np.max(np.abs(g16)))
+    # reference scale convention: alpha / grid.max() — the SIGNED max
+    # (quant_modules.py:537), not absmax; they differ for the asymmetric
+    # int grids ([-8..7]-shaped, |min| > max)
+    vmax = float(np.max(g16))
     scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1), (w.shape[1],))
              / vmax).astype(jnp.float32)
     codes = snap_codes(w / scale[None, :], jnp.asarray(g16, jnp.float32))

@@ -1,0 +1,237 @@
+"""Stacked-layer fused quantized matmul — the decode-path workhorse.
+
+The serving engine keeps every site's weights for ALL layers in one
+stacked array and walks layers with a ``lax.scan``. Feeding XLA's own dot
+a per-layer dynamic slice streams int8 at ~400-500 GB/s on v5e, but a
+Pallas custom call on that slice forces a materialized copy (~345 GB/s) —
+the round-2 blocker for true 4-bit streaming (PERF.md).
+
+This kernel removes the copy: the FULL stacked array is passed to ONE
+``pallas_call`` and the layer index arrives as a *scalar-prefetch*
+argument consumed by the BlockSpec index_map, so the pipeline DMAs tiles
+of layer ``l`` straight out of HBM. Measured on v5e (probes, 2026-08):
+8 MB/call streams at ~634 GB/s, 32 MB/call at ~731 GB/s — faster than
+XLA's own stacked int8 dot, with the activation snap fused in.
+
+Two storage modes:
+  i8  — weights as int8 *codebook values* (kernels/qmatmul.py:
+        quantize_weights_w4_i8): K x N int8 per layer, no decode work.
+        Measured 22.7 us/layer on a 2048x4096-byte-pair site (739 GB/s).
+  p4  — true 4-bit: codes packed two-per-byte in split-K halves
+        (qmatmul.py:pack_w4): K/2 x N uint8 per layer. Decode:
+        ``affine=True`` (grids whose int8 codebook == code - 8, the
+        ANT/OliVe *int* family) is one subtract — measured 17.4 us/layer,
+        the fastest path on the chip. The generic select-tree decode for
+        arbitrary grids costs 97.7 us/layer (flint sign/mag: 71.5,
+        shift-arithmetic: 59.6) — a VPU-bound LUT can't keep up with the
+        DMA (11.5 us floor), so non-affine grids should serve as
+        mode="i8" (see PERF.md for the measurement table).
+
+Layout notes forced by the axon/v5e backends:
+  - the stacked weight is passed **2-D** ``(L*rows, N)`` with the layer
+    offset folded into the index_map: 3-D int8 stacks and narrow int8
+    activation inputs make XLA pick an exotic entry layout whose
+    relayout loops on the remote backend.
+  - activations enter as f32 (8-row f32 tiles are natively supported;
+    8-row int8 tiles are not) and are snapped/cast in-kernel.
+  - per-layer small operands (activation codebook, weight codebook) ride
+    as scalar-prefetch SMEM arrays indexed by ``l`` in the kernel body;
+    per-layer (1, N)-blocked VMEM operands would violate the TPU
+    block-divisibility rule, so the final per-channel scale is applied
+    OUTSIDE the kernel (one (M, N) elementwise op, M <= 64).
+
+Numerics are bit-identical to the unfused engine path: the same midpoint
+snap (ties to the larger value) on the same pre-scaled values, int8 x
+int8 MXU dot, int32 accumulation, one f32 scale at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["stacked_quant_matmul"]
+
+
+def _snap_int8(xs, aq, g):
+    """Midpoint snap of pre-scaled activations onto the int8-domain
+    codebook ``aq`` (g scalars from SMEM); ties to the larger value."""
+    idx = jnp.zeros(xs.shape, jnp.int32)
+    for i in range(g - 1):
+        idx += (xs >= (aq[i] + aq[i + 1]) * 0.5).astype(jnp.int32)
+    xq = jnp.full(xs.shape, aq[0], jnp.float32)
+    for i in range(1, g):
+        xq = jnp.where(idx == i, aq[i], xq)
+    return xq.astype(jnp.int8)
+
+
+def _i8_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
+               *, n_k: int, g: int):
+    """One (M, bn) int32 tile at K-step kc over int8-value weights."""
+    kc = pl.program_id(1)
+    l = l_ref[0]
+    aq = [aq_ref[l, i] for i in range(g)]
+    xq = _snap_int8(x_ref[...], aq, g)
+    part = jax.lax.dot_general(xq, w_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(kc > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(kc == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+def _p4_kernel(l_ref, aq_ref, q16_ref, xlo_ref, xhi_ref, w_ref,
+               o_ref, acc_ref, *, n_k: int, g: int, affine: bool):
+    """One (M, bn) int32 tile at K-step kc over packed-nibble weights.
+
+    The byte at (k, n) holds code(k, n) in the low nibble and
+    code(k + K/2, n) in the high nibble; both decode against the
+    per-layer 16-entry int8 codebook (scalar-prefetch SMEM, indexed by
+    the layer scalar). ``affine=True``: decode is ``code - 8``."""
+    kc = pl.program_id(1)
+    l = l_ref[0]
+    aq = [aq_ref[l, i] for i in range(g)]
+    q16 = [q16_ref[l, i] for i in range(16)]
+
+    byte = w_ref[...].astype(jnp.int32)
+    lo = byte & 0xF
+    hi = (byte >> 4) & 0xF
+
+    def dec(nib):
+        if affine:
+            return (nib - 8).astype(jnp.int8)
+        v = jnp.full(nib.shape, q16[0], jnp.int32)
+        for i in range(1, 16):
+            v = jnp.where(nib == i, q16[i], v)
+        return v.astype(jnp.int8)
+
+    xlo = _snap_int8(xlo_ref[...], aq, g)
+    xhi = _snap_int8(xhi_ref[...], aq, g)
+    part = jax.lax.dot_general(xlo, dec(lo), (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    part += jax.lax.dot_general(xhi, dec(hi), (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(kc > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(kc == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+def _fit(n: int, want: int, quantum: int = 128) -> int:
+    if n <= want:
+        return n
+    b = (want // quantum) * quantum
+    while b >= quantum:
+        if n % b == 0:
+            return b
+        b -= quantum
+    return n
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "n_layers", "block_n",
+                                             "block_k", "affine",
+                                             "interpret"))
+def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
+                         scales: jax.Array, a_q: jax.Array,
+                         a_scale: jax.Array, q16: Optional[jax.Array],
+                         *, mode: str, n_layers: int, block_n: int = 2048,
+                         block_k: int = 1024, affine: bool = False,
+                         interpret: bool = False) -> jax.Array:
+    """snap(x / a_scale[l]) @ W[l] * scales[l] for one layer of a stack.
+
+    l:       () int32 layer index (scalar-prefetched)
+    x:       (M, K) f32 activations, M <= 256 (the decode path)
+    w2d:     mode="i8": (L*K, N) int8 codebook values
+             mode="p4": (L*K/2, N) uint8 split-K packed nibbles
+    scales:  (L, N) f32 — a_scale * per-channel weight scale, folded;
+             applied outside the kernel
+    a_q:     (L, G) f32 int8-domain activation codebook (G <= 16)
+    a_scale: (L, 1) f32 — activation scale (the division happens outside
+             the kernel, the exact arithmetic of the unfused path)
+    q16:     (L, 16) int32 per-layer weight codebook (p4 only)
+    Returns (M, N) f32.
+    """
+    M, K = x.shape
+    _, N = w2d.shape
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    g = int(a_q.shape[1])
+    rows = K if mode == "i8" else K // 2
+    assert w2d.shape[0] == n_layers * rows, (w2d.shape, n_layers, rows)
+    l = jnp.asarray(l, jnp.int32)
+    Mp = max(8, -(-M // 8) * 8)
+    # pre-scale outside the kernel (same division as the unfused path)
+    sc = jax.lax.dynamic_index_in_dim(a_scale, l, 0, keepdims=False)
+    xp = jnp.pad(x.astype(jnp.float32) / sc, ((0, Mp - M), (0, 0)))
+    bn = _fit(N, block_n)
+    bk = _fit(rows, block_k)
+    n_n, n_k = N // bn, rows // bk
+    aqf = a_q.astype(jnp.float32)
+
+    if mode == "i8":
+        kern = functools.partial(_i8_kernel, n_k=n_k, g=g)
+        n_prefetch = 2            # (l, a_q)
+        in_specs = [
+            pl.BlockSpec((Mp, bk), lambda j, c, *_: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn),
+                         lambda j, c, l_ref, *_:
+                         (l_ref[0] * (rows // bk) + c, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (aqf, xp, w2d)
+    else:
+        assert q16 is not None
+        kern = functools.partial(_p4_kernel, n_k=n_k, g=g, affine=affine)
+        n_prefetch = 3            # (l, a_q, q16)
+        in_specs = [
+            pl.BlockSpec((Mp, bk), lambda j, c, *_: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, bk), lambda j, c, *_: (0, n_k + c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn),
+                         lambda j, c, l_ref, *_:
+                         (l_ref[0] * (rows // bk) + c, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        # xp (M, K): low half feeds the low nibbles, high half the high
+        args = (aqf, q16.astype(jnp.int32), xp, xp, w2d)
+
+    acc = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(n_n, n_k),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((Mp, bn), lambda j, c, *_: (0, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((Mp, bn), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.int32),
+        interpret=interpret,
+    )(l.reshape(1), *args)
+    out_scale = jax.lax.dynamic_index_in_dim(
+        scales.astype(jnp.float32), l, 0, keepdims=False)    # (N,)
+    return acc[:M].astype(jnp.float32) * out_scale[None, :]

@@ -39,6 +39,7 @@ from ..kernels.attention import int8_kv_attention
 from ..kernels.kv_cache import QuantKV, append_kv, init_kv
 from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
                                quantized_matmul_w4, quantize_weights_w4_i8)
+from ..kernels.stacked import stacked_quant_matmul
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
 from ..ops.snap import snap as ops_snap
@@ -63,6 +64,16 @@ class EngineConfig:
     block_n: int = 512
     dtype: Any = jnp.bfloat16
     interpret: bool = False        # Pallas interpret mode (CPU tests)
+    # Route decode-size matmuls (M = B*T <= stacked_max_m) through the
+    # stacked-layer Pallas kernel (kernels/stacked.py): the full (L, K, N)
+    # weight stack is passed to one pallas_call per site and the layer
+    # index arrives by scalar prefetch, so no per-layer slice ever
+    # materializes. Measured ~630-730 GB/s streaming on v5e vs ~400-500
+    # for XLA's dot on scanned slices. Applies when act_bits gives an
+    # int8-exact activation grid ("w4": int8-value weights; "w4pack":
+    # true 4-bit packed weights decoded in-register).
+    stacked_kernel: bool = True
+    stacked_max_m: int = 64
     # Megatron-style tensor parallelism (serve/sharded.py): inside
     # shard_map every layer tensor is a local shard — q/k/v/fc_in column
     # parallel (local heads / local d_ff), out/fc_out row parallel with a
@@ -169,8 +180,13 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
                 scale = (alpha / jnp.max(grid16)).astype(jnp.float32)
                 codes = snap_codes(jnp.asarray(kernel) / scale[None, :],
                                    grid16)
+                # int8 restatement of the grid for the stacked int8-MXU
+                # decode kernel: dequant == q16[code] * oscale exactly
+                q16v, w_unit, _ = int8_codebook(np.asarray(grid16))
                 entry.update(packed=pack_w4(codes), scale=scale,
-                             grid=grid16.astype(jnp.float32))
+                             grid=grid16.astype(jnp.float32),
+                             q16=jnp.asarray(q16v, jnp.int32),
+                             oscale=scale * np.float32(w_unit))
             else:
                 entry.update(kernel=jnp.asarray(kernel, cfg.dtype))
             if cfg.act_bits and q is not None:
@@ -179,12 +195,14 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
                 a_grid = np.asarray(aq.grid).reshape(-1)[:2 ** cfg.act_bits]
                 entry.update(a_grid=jnp.asarray(a_grid),
                              a_alpha=jnp.asarray(aq.alpha).reshape(()))
-                if cfg.weight_mode == "w4":
+                if cfg.weight_mode in ("w4", "w4pack"):
                     a_q16, a_unit, a_exact = int8_codebook(a_grid)
                     if a_exact:
                         # int8 MXU path; inexact grids (unsigned pot/float,
-                        # >127:1 range) keep the f32 fake-quant fallback
-                        a_vmax = float(np.max(np.abs(a_grid)))
+                        # >127:1 range) keep the f32 fake-quant fallback.
+                        # scale convention: alpha / max(grid) — SIGNED max,
+                        # mirroring quantize_activation / the reference
+                        a_vmax = float(np.max(a_grid))
                         entry.update(
                             a_q=jnp.asarray(a_q16),
                             a_scale=(entry["a_alpha"] / a_vmax
@@ -192,6 +210,18 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
                                      ).astype(jnp.float32))
             lay[site] = entry
         layers.append(lay)
+
+    if cfg.weight_mode == "w4pack":
+        # sites whose grids are affine (int8 codebook == code - 8, the
+        # ANT/OliVe *int* grids) in EVERY layer get the measured-fast
+        # one-subtract decode in the stacked kernel; presence of the
+        # "affine4" key is the (static) marker
+        aff16 = np.arange(16) - 8
+        for site in sites:
+            if all(np.array_equal(np.asarray(lay_[site]["q16"]), aff16)
+                   for lay_ in layers):
+                for lay_ in layers:
+                    lay_[site]["affine4"] = jnp.zeros((), jnp.int32)
 
     stacked = _stack(layers)
     if cfg.lm_head_int8:
@@ -208,16 +238,62 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
     return {"layers": stacked, "top": top}
 
 
+def _prepare_stacked(cfg: EngineConfig, ep: Dict, M: int) -> Optional[Dict]:
+    """Per-site operands for the stacked-layer Pallas kernel, or None when
+    the config/shape can't use it (prefill-size M, no act quant, inexact
+    activation grid). The (L, K, N) stacks are reshaped to (L*K, N) —
+    free on the default layout — once per forward, outside the scan."""
+    if not (cfg.stacked_kernel and cfg.act_bits
+            and cfg.weight_mode in ("w4", "w4pack")
+            and M <= cfg.stacked_max_m):
+        return None
+    stk = {}
+    for name, site in ep["layers"].items():
+        if not isinstance(site, dict) or not (
+                "w_i8" in site or "packed" in site):
+            continue
+        if "a_q" not in site or "oscale" not in site:
+            return None                     # inexact act grid: fall back
+        if cfg.weight_mode == "w4":
+            w = site["w_i8"]                # (L, K, N) int8
+            mode, q16 = "i8", None
+        else:
+            w = site["packed"]              # (L, K/2, N) uint8
+            mode, q16 = "p4", site["q16"]   # (L, 16) int32
+        L = w.shape[0]
+        stk[name] = dict(
+            mode=mode, n_layers=L, affine="affine4" in site,
+            w2d=w.reshape(L * w.shape[1], w.shape[2]),
+            scales=(site["a_scale"][:, None]
+                    * site["oscale"]).astype(jnp.float32),   # (L, N)
+            a_q=site["a_q"].astype(jnp.float32),             # (L, G)
+            a_scale=site["a_scale"].astype(jnp.float32)[:, None],
+            q16=q16)
+    return stk or None
+
+
+def _stacked_matmul(cfg: EngineConfig, x2d: jax.Array, s: Dict,
+                    l: jax.Array) -> jax.Array:
+    return stacked_quant_matmul(
+        l, x2d.astype(jnp.float32), s["w2d"], s["scales"], s["a_q"],
+        s["a_scale"], s["q16"], mode=s["mode"], n_layers=s["n_layers"],
+        affine=s["affine"], interpret=cfg.interpret)
+
+
 def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict,
-                 add_bias: bool = True) -> jax.Array:
-    y = _site_matmul_nobias(cfg, x2d, site)
+                 add_bias: bool = True, stk: Optional[Dict] = None,
+                 l=None) -> jax.Array:
+    y = _site_matmul_nobias(cfg, x2d, site, stk=stk, l=l)
     if not add_bias:
         return y
     return (y + site["bias"]).astype(cfg.dtype)
 
 
 def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
-                        site: Dict) -> jax.Array:
+                        site: Dict, stk: Optional[Dict] = None,
+                        l=None) -> jax.Array:
+    if stk is not None:
+        return _stacked_matmul(cfg, x2d, stk, l)
     """Matmul WITHOUT the bias (f32): callers add it — _site_matmul for
     column-parallel sites, forward's _reduce after the psum for
     row-parallel ones (so under TP the bias is counted exactly once)."""
@@ -351,34 +427,58 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
             y2d = jax.lax.psum(y2d, cfg.tp_axis)
         return (y2d + site["bias"]).astype(cfg.dtype)
 
+    stk = _prepare_stacked(cfg, ep, B * T)
+
     def layer(x, scanned):
-        lay, kv_l = scanned
+        if stk is None:
+            lay, kv_l = scanned
+            l = None
+        else:
+            lay, kv_l, l = scanned
+        s = (lambda name: stk.get(name)) if stk else (lambda name: None)
         h = _ln(x, lay["ln_1"], c.ln_eps)
         x2 = h.reshape(B * T, c.d_model)
         if c.fused_qkv:
-            qkv = _site_matmul(cfg, x2, lay["qkv"]).reshape(B, T, 3 * d_attn)
+            qkv = _site_matmul(cfg, x2, lay["qkv"], stk=s("qkv"),
+                               l=l).reshape(B, T, 3 * d_attn)
             qh, kh, vh = jnp.split(qkv, 3, axis=-1)
         else:
-            qh = _site_matmul(cfg, x2, lay["q"]).reshape(B, T, d_attn)
-            kh = _site_matmul(cfg, x2, lay["k"]).reshape(B, T, d_attn)
-            vh = _site_matmul(cfg, x2, lay["v"]).reshape(B, T, d_attn)
+            qh = _site_matmul(cfg, x2, lay["q"], stk=s("q"),
+                              l=l).reshape(B, T, d_attn)
+            kh = _site_matmul(cfg, x2, lay["k"], stk=s("k"),
+                              l=l).reshape(B, T, d_attn)
+            vh = _site_matmul(cfg, x2, lay["v"], stk=s("v"),
+                              l=l).reshape(B, T, d_attn)
         sh = (B, T, heads, c.head_dim)
         qh, kh, vh = qh.reshape(sh), kh.reshape(sh), vh.reshape(sh)
         kv_l = append_kv(kv_l, kh.astype(jnp.float32),
                          vh.astype(jnp.float32), pos_in)
         a = _attention(cfg, qh, kv_l, pos0, T, alibi)
         a = a.reshape(B * T, d_attn)
-        attn_out = _reduce(_site_matmul_nobias(cfg, a, lay["out"]),
+        attn_out = _reduce(_site_matmul_nobias(cfg, a, lay["out"],
+                                               stk=s("out"), l=l),
                            lay["out"])
         x = x + attn_out.reshape(B, T, c.d_model)
         h = _ln(x, lay["ln_2"], c.ln_eps)
-        h2 = _site_matmul(cfg, h.reshape(B * T, c.d_model), lay["fc_in"])
+        h2 = _site_matmul(cfg, h.reshape(B * T, c.d_model), lay["fc_in"],
+                          stk=s("fc_in"), l=l)
         h2 = _act(c.activation, h2)
-        h2 = _reduce(_site_matmul_nobias(cfg, h2, lay["fc_out"]),
+        h2 = _reduce(_site_matmul_nobias(cfg, h2, lay["fc_out"],
+                                         stk=s("fc_out"), l=l),
                      lay["fc_out"])
         return x + h2.reshape(B, T, c.d_model), kv_l
 
-    x, kv = jax.lax.scan(layer, x, (ep["layers"], kv))
+    if stk is None:
+        x, kv = jax.lax.scan(layer, x, (ep["layers"], kv))
+    else:
+        # the big weight stacks ride in the kernel closure (streamed by
+        # the stacked kernel, indexed by l) — scan only the small leaves
+        big = ("w_i8", "packed")
+        small = {k: ({kk: vv for kk, vv in v.items() if kk not in big}
+                     if isinstance(v, dict) else v)
+                 for k, v in ep["layers"].items()}
+        x, kv = jax.lax.scan(layer, x,
+                             (small, kv, jnp.arange(c.n_layers)))
     x = _ln(x, ep["top"]["ln_f"], c.ln_eps)
     return _lm_logits(ep["top"], x), kv
 

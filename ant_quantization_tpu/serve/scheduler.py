@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import engine as eng
+from .sampling import SamplingConfig, sample
 
 __all__ = ["Request", "Completion", "ContinuousBatcher"]
 
@@ -71,15 +72,26 @@ class ContinuousBatcher:
                  prefill_buckets: Tuple[int, ...] = (32, 128, 512),
                  pad_id: int = 0,
                  forward_fn: Optional[Callable] = None,
-                 kv: Optional[Tuple] = None):
+                 kv: Optional[Tuple] = None,
+                 sampling: Optional[SamplingConfig] = None,
+                 seed: int = 0):
         """``forward_fn(ep, ids, kv, pos0) -> (logits, kv)`` defaults to
         the single-device engine; pass serve.sharded.make_sharded_forward's
-        result (plus its sharded ``ep``/``kv``) to batch over a TP mesh."""
+        result (plus its sharded ``ep``/``kv``) to batch over a TP mesh.
+
+        ``sampling`` (temperature/top-k/top-p, serve/sampling.py) applies
+        to every slot; the default (or temperature=0) is exact greedy.
+        Sampling is reproducible: the key folds in (seed, tick counter),
+        with one subkey per slot."""
         self.cfg = cfg
         self.ep = ep
         self.B = batch_slots
         self.buckets = tuple(sorted(prefill_buckets))
         self.pad_id = pad_id
+        self.sampling = sampling or SamplingConfig()
+        self._root_key = jax.random.PRNGKey(seed)
+        self._tick = 0
+        scfg = self.sampling
         fwd = forward_fn or (lambda ep_, ids_, kv_, pos0_: eng.forward(
             cfg, ep_, ids_, kv_, pos0_))
 
@@ -94,7 +106,7 @@ class ContinuousBatcher:
 
         # ---- jitted cores --------------------------------------------
         @partial(jax.jit, static_argnames=("prompt_len",), donate_argnums=(1,))
-        def prefill_slot(ep, kv, ids_1xTb, slot, prompt_len):
+        def prefill_slot(ep, kv, ids_1xTb, slot, prompt_len, key):
             """Prefill one slot: slice out its cache row (batch dim = axis 1
             of the (L, B, ...) leaves), run a batch-1 forward from position
             0, scatter the row back. Returns (kv, next_token)."""
@@ -108,14 +120,14 @@ class ContinuousBatcher:
             kv = jax.tree_util.tree_map(put, kv, kv_row)
             # next token reads the logits at the true last prompt position,
             # not the padded tail
-            nxt = jnp.argmax(logits[:, prompt_len - 1], axis=-1)
-            return kv, nxt.astype(jnp.int32)
+            nxt = sample(logits[:, prompt_len - 1], scfg, key)
+            return kv, nxt
 
         @partial(jax.jit, donate_argnums=(1,))
-        def decode_all(ep, kv, tokens_Bx1, lengths_B):
+        def decode_all(ep, kv, tokens_Bx1, lengths_B, key):
             logits, kv = fwd(ep, tokens_Bx1, kv, lengths_B)
-            nxt = jnp.argmax(logits[:, -1], axis=-1)
-            return kv, nxt.astype(jnp.int32)
+            nxt = sample(logits[:, -1], scfg, key)
+            return kv, nxt
 
         self._prefill = prefill_slot
         self._decode = decode_all
@@ -142,7 +154,8 @@ class ContinuousBatcher:
             return out
         self.kv, nxt = self._decode(self.ep, self.kv,
                                     jnp.asarray(self.last_token),
-                                    jnp.asarray(self.lengths))
+                                    jnp.asarray(self.lengths),
+                                    self._next_key())
         nxt = np.asarray(nxt)
         for b in range(self.B):
             req = self.slot_req[b]
@@ -177,6 +190,11 @@ class ContinuousBatcher:
 
     # ---- internals ------------------------------------------------------
 
+    def _next_key(self):
+        key = jax.random.fold_in(self._root_key, self._tick)
+        self._tick += 1
+        return key
+
     def _fill_free_slots(self):
         for b in range(self.B):
             if self.slot_req[b] is not None or not self.queue:
@@ -189,7 +207,8 @@ class ContinuousBatcher:
             ids[0, :T] = req.prompt
             self.kv, nxt = self._prefill(self.ep, self.kv,
                                          jnp.asarray(ids),
-                                         jnp.asarray(b), T)
+                                         jnp.asarray(b), T,
+                                         self._next_key())
             tok = int(np.asarray(nxt)[0])
             self.slot_req[b] = req
             self.slot_tokens[b] = [tok]

@@ -32,31 +32,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import engine as eng
+from .sampling import SamplingConfig, filtered_log_probs, sample
 
 __all__ = ["SpeculativeDecoder"]
 
 
 class SpeculativeDecoder:
-    """Greedy draft-and-verify decoding: draft engine + target engine.
+    """Draft-and-verify decoding: draft engine + target engine.
 
     Both engines must share the vocabulary; ``k`` is the speculation
     depth (k + 1 <= 16 keeps verification on the fused decode kernel).
+
+    With ``sampling`` set (temperature > 0) the verify step runs
+    *speculative rejection sampling* (Leviathan et al.'s scheme): draft
+    token x_i ~ q_i is accepted with probability min(1, p_i(x_i) /
+    q_i(x_i)); the first rejection resamples from the residual
+    normalize(max(p_i - q_i, 0)); if all k drafts are accepted one bonus
+    token is drawn from p_k. The emitted stream is distributed *exactly*
+    as sampling the target alone (lossless), whatever the draft is.
+    q/p are the engines' filtered+renormalized sampling distributions
+    (serve/sampling.py:filtered_log_probs), so temperature/top-k/top-p
+    all compose with speculation.
     """
 
     def __init__(self, target_cfg: eng.EngineConfig, target_ep: Dict,
-                 draft_cfg: eng.EngineConfig, draft_ep: Dict, k: int = 4):
+                 draft_cfg: eng.EngineConfig, draft_ep: Dict, k: int = 4,
+                 sampling: Optional[SamplingConfig] = None,
+                 seed: int = 0):
         assert 1 <= k <= 15, "k+1 must stay on the decode attention path"
         assert target_cfg.lm.vocab_size == draft_cfg.lm.vocab_size
         self.tcfg, self.tep = target_cfg, target_ep
         self.dcfg, self.dep = draft_cfg, draft_ep
         self.k = k
+        self.sampling = sampling or SamplingConfig()
+        self._root_key = jax.random.PRNGKey(seed)
+        self._round = 0
+        scfg = self.sampling
 
         @jax.jit
-        def prefill(tep, dep, kv_t, kv_d, ids):
+        def prefill(tep, dep, kv_t, kv_d, ids, key):
             zero = jnp.zeros((ids.shape[0],), jnp.int32)
             lt, kv_t = eng.forward(target_cfg, tep, ids, kv_t, zero)
             _, kv_d = eng.forward(draft_cfg, dep, ids, kv_d, zero)
-            last = jnp.argmax(lt[:, -1:], axis=-1).astype(jnp.int32)
+            last = sample(lt[:, -1:], scfg, key)
             return kv_t, kv_d, last
 
         @jax.jit
@@ -95,8 +113,70 @@ class SpeculativeDecoder:
             last2 = tgt[jnp.arange(B), m][:, None]
             return kv_t, kv_d, out, n_out, last2, pos + n_out
 
+        @jax.jit
+        def sampled_step(tep, dep, kv_t, kv_d, last, pos, key):
+            """One rejection-sampling speculation round (lossless sampled
+            decoding). Same cache discipline as ``step``."""
+            B = last.shape[0]
+            k = self.k
+            kd, ka, kr = jax.random.split(key, 3)
+
+            def body(carry, i):
+                tok, kv_d_ = carry
+                ld, kv_d_ = eng.forward(draft_cfg, dep, tok, kv_d_, pos + i)
+                logq = filtered_log_probs(ld[:, -1], scfg)      # (B, V)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(kd, i), logq)[:, None].astype(
+                        jnp.int32)
+                return (nxt, kv_d_), (nxt[:, 0], logq)
+
+            # k+1 draft steps (the k-th only caches its K/V)
+            (_, kv_d), (drafts_t, logq_t) = jax.lax.scan(
+                body, (last, kv_d), jnp.arange(k + 1))
+            drafts = drafts_t.T[:, :k]                           # (B, k)
+            logq = jnp.swapaxes(logq_t, 0, 1)[:, :k]             # (B, k, V)
+            ids = jnp.concatenate([last, drafts], axis=1)        # (B, k+1)
+            lt, kv_t = eng.forward(target_cfg, tep, ids, kv_t, pos)
+            logp = filtered_log_probs(lt, scfg)                  # (B,k+1,V)
+
+            # accept x_i with prob min(1, p_i(x_i)/q_i(x_i))
+            bidx = jnp.arange(B)[:, None]
+            iidx = jnp.arange(k)[None, :]
+            lp_x = logp[:, :k][bidx, iidx, drafts]               # (B, k)
+            lq_x = logq[bidx, iidx, drafts]                      # (B, k)
+            u = jax.random.uniform(ka, (B, k), minval=1e-20)
+            accept = (jnp.log(u) < (lp_x - lq_x)).astype(jnp.int32)
+            m = jnp.cumprod(accept, axis=1).sum(axis=1)          # (B,)
+
+            # correction at position m: residual max(p_m - q_m, 0)
+            # (q_k := 0 for the all-accepted bonus draw, so residual = p_k)
+            q_pad = jnp.concatenate(
+                [jnp.exp(logq), jnp.zeros_like(logq[:, :1])], axis=1)
+            p_m = jnp.exp(logp[jnp.arange(B), m])                # (B, V)
+            q_m = q_pad[jnp.arange(B), m]                        # (B, V)
+            resid = jnp.maximum(p_m - q_m, 0.0)
+            rs = jnp.sum(resid, axis=-1, keepdims=True)
+            # p == q exactly -> zero residual; rejection then had
+            # probability 0 up to float error, fall back to p_m
+            resid = jnp.where(rs > 0, resid / jnp.maximum(rs, 1e-30), p_m)
+            corr = jax.random.categorical(
+                kr, jnp.log(jnp.maximum(resid, 1e-30)))[:, None].astype(
+                    jnp.int32)                                   # (B, 1)
+
+            idx = jnp.arange(k + 1)[None, :]
+            out = jnp.where(idx < m[:, None],
+                            jnp.pad(drafts, ((0, 0), (0, 1))), corr)
+            n_out = m + 1
+            return kv_t, kv_d, out, n_out, corr, pos + n_out
+
         self._prefill = prefill
         self._step = step
+        self._sampled_step = sampled_step
+
+    def _next_key(self):
+        key = jax.random.fold_in(self._root_key, self._round)
+        self._round += 1
+        return key
 
     def generate(self, prompt_ids: np.ndarray, max_new_tokens: int,
                  eos_id: Optional[int] = None) -> List[List[int]]:
@@ -106,7 +186,8 @@ class SpeculativeDecoder:
         kv_t = eng.init_cache(self.tcfg, B)
         kv_d = eng.init_cache(self.dcfg, B)
         kv_t, kv_d, last = self._prefill(self.tep, self.dep, kv_t, kv_d,
-                                         jnp.asarray(prompt_ids))
+                                         jnp.asarray(prompt_ids),
+                                         self._next_key())
         out: List[List[int]] = [[int(np.asarray(last)[b, 0])]
                                 for b in range(B)]
         pos = jnp.full((B,), T, jnp.int32)
@@ -114,8 +195,13 @@ class SpeculativeDecoder:
         self.accepted_hist: List[int] = []
         while (any(len(o) < max_new_tokens for o in out)
                and int(np.asarray(pos).max()) + self.k + 1 < limit):
-            kv_t, kv_d, toks, n_out, last, pos = self._step(
-                self.tep, self.dep, kv_t, kv_d, last, pos)
+            if self.sampling.is_greedy:
+                kv_t, kv_d, toks, n_out, last, pos = self._step(
+                    self.tep, self.dep, kv_t, kv_d, last, pos)
+            else:
+                kv_t, kv_d, toks, n_out, last, pos = self._sampled_step(
+                    self.tep, self.dep, kv_t, kv_d, last, pos,
+                    self._next_key())
             toks, n = np.asarray(toks), np.asarray(n_out)
             self.accepted_hist.append(int(n.sum() - len(n)))
             for b in range(B):

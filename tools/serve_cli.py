@@ -41,6 +41,7 @@ from ant_quantization_tpu.harness import zoo
 from ant_quantization_tpu.models.transformer_lm import LMConfig
 from ant_quantization_tpu.nn.config import QuantConfig
 from ant_quantization_tpu.serve import engine as eng
+from ant_quantization_tpu.serve.sampling import SamplingConfig
 from ant_quantization_tpu.serve.scheduler import ContinuousBatcher, Request
 from ant_quantization_tpu.utils.logging import setup_logger
 
@@ -81,6 +82,11 @@ def parse_args(argv=None):
     p.add_argument("--load_engine", default=None,
                    help="directory: restore a saved engine (skips "
                         "calibration and weight import)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature (0 = greedy)")
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default=None)
     return p.parse_args(argv)
 
@@ -166,7 +172,14 @@ def main(argv=None):
         if args.save_engine:
             save_engine(args.save_engine, ecfg, ep)
 
-    cb = ContinuousBatcher(ecfg, ep, batch_slots=args.slots)
+    # calibration runs on the host CPU backend and leaves ep committed
+    # there; move it to the accelerator so the serving jits compile for it
+    ep = jax.device_put(ep, jax.devices()[0])
+    cb = ContinuousBatcher(
+        ecfg, ep, batch_slots=args.slots,
+        sampling=SamplingConfig(temperature=args.temperature,
+                                top_k=args.top_k, top_p=args.top_p),
+        seed=args.seed)
     t0 = time.perf_counter()
     for prompt in prompts:
         cb.submit(Request(prompt=prompt,
