@@ -98,7 +98,8 @@ def _variables(state: TrainState) -> Dict[str, Any]:
 
 def make_classification_step(model, tx: optax.GradientTransformation,
                              has_batch_stats: bool = False,
-                             grad_accum: int = 1):
+                             grad_accum: int = 1,
+                             preprocess=None):
     """Jitted (state, images, labels) -> (state, loss). Softmax CE.
 
     ``grad_accum`` > 1 splits the batch into that many microbatches and
@@ -110,11 +111,17 @@ def make_classification_step(model, tx: optax.GradientTransformation,
     like resnet18) BN normalizes per-microbatch and updates running stats
     once per microbatch, so activations and gradients differ from the
     full-batch step.
+
+    ``preprocess`` (e.g. data.normalize_images for uint8 pipelines) is
+    applied to the images INSIDE the jitted step — on-device
+    normalization, the DALI split of host-decode / device-normalize.
     """
 
     @jax.jit
     def step(params, quant, extra, opt_state, images, labels):
         def loss_fn(params, extra, images, labels):
+            if preprocess is not None:
+                images = preprocess(images)
             variables = {"params": params, **extra}
             if quant is not None:
                 variables["quant"] = quant
@@ -229,7 +236,8 @@ def evaluate_classification(model, variables: Dict[str, Any],
                             logger: Optional[Callable[[str], None]] = None,
                             journal: Optional[str] = None,
                             journal_every: int = 50,
-                            journal_fingerprint: str = ""):
+                            journal_fingerprint: str = "",
+                            preprocess=None):
     """Top-k accuracy over an eval stream (ImageNet/main.py:245-284).
 
     ``journal``: optional path for crash-resumable accumulation
@@ -241,6 +249,8 @@ def evaluate_classification(model, variables: Dict[str, Any],
 
     @jax.jit
     def logits_fn(variables, images):
+        if preprocess is not None:
+            images = preprocess(images)
         return model.apply(variables, images)
 
     acc = ResumableAccumulator(

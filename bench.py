@@ -1,16 +1,17 @@
 """Headline benchmark: quantized decode throughput on one TPU chip.
 
-Measures decode tokens/s of an OPT-6.7B-width decoder stack served with
-packed W4 weights + A4 activation quant + INT8 KV cache (the OliVe W4A4
-serving configuration of BASELINE.json) against the bf16 dense baseline on
-the same hardware, and prints ONE json line:
+Measures decode tokens/s of the FULL-DEPTH OPT-6.7B decoder stack (32
+layers, exact width) served with W4 weights + A4 activation quant + INT8
+KV cache (the OliVe W4A4 serving configuration of BASELINE.json) against
+the bf16 dense baseline on the same hardware, and prints ONE json line:
   {"metric": ..., "value": tokens/s, "unit": "tokens/s", "vs_baseline": x}
 
-vs_baseline = quantized tokens/s / bf16 tokens/s (>1 means the quantized
-engine is faster than the unquantized one on identical shapes).
-
-Depth is trimmed so both variants fit HBM comfortably; the ratio is
-depth-invariant (per-layer work is identical across layers).
+vs_baseline = quantized tokens/s / bf16 tokens/s on identical shapes.
+The bf16 baseline at full depth (~14.6 GB of weights + cache) may not fit
+a single v5e chip; if it OOMs, the baseline falls back to 12 layers and
+the ratio is computed against a depth-scaled baseline step time
+(per-layer bf16 time x 32/12 + the measured non-layer remainder) — the
+quantized number itself is always the real measured 32-layer engine.
 """
 
 import functools
@@ -29,27 +30,49 @@ from ant_quantization_tpu.models.transformer_lm import LMConfig
 from ant_quantization_tpu.numerics import codebooks as cb
 from ant_quantization_tpu.serve import engine as eng
 
-# OPT-6.7B geometry (width exact, depth trimmed to fit bf16 baseline + cache)
-N_LAYERS = int(os.environ.get("BENCH_LAYERS", "12"))
+# OPT-6.7B geometry, full depth for the quantized engine
+N_LAYERS = int(os.environ.get("BENCH_LAYERS", "32"))
+BASE_LAYERS = int(os.environ.get("BENCH_BASE_LAYERS", "12"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 PREFILL = int(os.environ.get("BENCH_PREFILL", "512"))
 DECODE_STEPS = int(os.environ.get("BENCH_DECODE", "64"))
 MAX_SEQ = PREFILL + DECODE_STEPS + 32
 
-LM = LMConfig(vocab_size=50272, d_model=4096, n_layers=N_LAYERS, n_heads=32,
-              d_ff=16384, max_seq=MAX_SEQ, positions="learned_offset2",
-              activation="relu", fused_qkv=False)
+
+def _lm(n_layers):
+    return LMConfig(vocab_size=50272, d_model=4096, n_layers=n_layers,
+                    n_heads=32, d_ff=16384, max_seq=MAX_SEQ,
+                    positions="learned_offset2", activation="relu",
+                    fused_qkv=False)
+
+
+LM = _lm(N_LAYERS)
 
 
 def _rand_engine_params(cfg: eng.EngineConfig, key):
     """Random stacked engine params built directly on device (no host
     weight materialization: bf16 6.7B doesn't fit in host+device twice).
 
-    The whole tree is constructed inside ONE jitted function: on the
-    remote-TPU backend every top-level dispatch pays a tunnel round trip
-    (+ a possible remote compile), so per-site construction takes minutes
-    while a single fused program takes seconds.
+    Big weight stacks are built ONE SITE PER JIT with pinned default
+    (row-major) output layouts:
+    - pinned layouts: XLA may otherwise pick exotic layouts for jit-built
+      int8 stacks, turning the engine's free (L, K, N) -> (L*K, N)
+      reshape into a materialized multi-GB copy (OOM at 32 layers);
+    - per-site jits: one whole-tree build program peaks at final-size +
+      per-leaf transients and OOMs at full OPT-6.7B depth, while the
+      per-site peak stays ~4 GB above the running total.
     """
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+    dev = jax.devices()[0]
+
+    def pinned(fn, *args):
+        shapes = jax.eval_shape(fn, *args)
+        fmts = jax.tree_util.tree_map(
+            lambda s: Format(Layout(tuple(range(s.ndim))),
+                             SingleDeviceSharding(dev)), shapes)
+        return jax.jit(fn, out_shardings=fmts)(*args)
+
     c = cfg.lm
     sites = {"q": (c.d_model, c.d_model), "k": (c.d_model, c.d_model),
              "v": (c.d_model, c.d_model), "out": (c.d_model, c.d_model),
@@ -59,54 +82,50 @@ def _rand_engine_params(cfg: eng.EngineConfig, key):
     from ant_quantization_tpu.kernels.qmatmul import int8_codebook
     wq16, w_unit, _ = int8_codebook(wgrid)
     aq16, a_unit, _ = int8_codebook(agrid)
-    a_vmax = float(np.max(np.abs(agrid)))
+    a_vmax = float(np.max(agrid))
     L = c.n_layers
 
-    @jax.jit
-    def build(key):
-        ks = jax.random.split(key, len(sites) + 2)
-        layers = {}
-        for i, (name, (K, N)) in enumerate(sites.items()):
-            entry = {"bias": jnp.zeros((L, N), jnp.float32)}
-            if cfg.weight_mode == "w4":
-                # values irrelevant to perf: any int8 in codebook range
-                entry["w_i8"] = jax.random.randint(
-                    ks[i], (L, K, N), -64, 64, jnp.int8)
-                entry["oscale"] = jnp.full(
-                    (L, N), 2e-3 * w_unit, jnp.float32)
-            else:
-                entry["kernel"] = (
-                    jax.random.normal(ks[i], (L, K, N), jnp.bfloat16)
-                    * np.float32(1.0 / np.sqrt(K)))
-            if cfg.act_bits:
-                entry["a_grid"] = jnp.broadcast_to(
-                    jnp.asarray(agrid), (L, 16))
-                entry["a_alpha"] = jnp.full((L,), 3.0, jnp.float32)
-                if cfg.weight_mode == "w4":
-                    entry["a_q"] = jnp.broadcast_to(jnp.asarray(aq16), (L, 16))
-                    entry["a_scale"] = jnp.full(
-                        (L,), 3.0 / a_vmax * a_unit, jnp.float32)
-            layers[name] = entry
-        ln = lambda: {"scale": jnp.ones((L, c.d_model), jnp.float32),
-                      "bias": jnp.zeros((L, c.d_model), jnp.float32)}
-        layers["ln_1"], layers["ln_2"] = ln(), ln()
-        top = {
-            "wpe": jax.random.normal(ks[-1], (c.max_seq + 2, c.d_model),
-                                     cfg.dtype) * 0.02,
-            "ln_f": {"scale": jnp.ones((c.d_model,), jnp.float32),
-                     "bias": jnp.zeros((c.d_model,), jnp.float32)},
-        }
-        if cfg.lm_head_int8:
-            top["wte_i8"] = jax.random.randint(
-                ks[-2], (c.vocab_size, c.d_model), -127, 128, jnp.int8)
-            top["wte_scale"] = jnp.full(
-                (c.vocab_size,), 0.02 / 127.0, jnp.float32)
+    keys = jax.random.split(key, len(sites) + 2)
+    layers = {}
+    for i, (name, (K, N)) in enumerate(sites.items()):
+        entry = {"bias": jnp.zeros((L, N), jnp.float32)}
+        if cfg.weight_mode == "w4":
+            # values irrelevant to perf: any int8 in codebook range
+            entry["w_i8"] = pinned(
+                lambda k, K=K, N=N: jax.random.randint(
+                    k, (L, K, N), -64, 64, jnp.int8), keys[i])
+            entry["oscale"] = jnp.full((L, N), 2e-3 * w_unit, jnp.float32)
         else:
-            top["wte"] = jax.random.normal(
-                ks[-2], (c.vocab_size, c.d_model), cfg.dtype) * 0.02
-        return {"layers": layers, "top": top}
-
-    return build(key)
+            entry["kernel"] = pinned(
+                lambda k, K=K, N=N: (
+                    jax.random.normal(k, (L, K, N), jnp.bfloat16)
+                    * np.float32(1.0 / np.sqrt(K))), keys[i])
+        if cfg.act_bits:
+            entry["a_grid"] = jnp.broadcast_to(jnp.asarray(agrid), (L, 16))
+            entry["a_alpha"] = jnp.full((L,), 3.0, jnp.float32)
+            if cfg.weight_mode == "w4":
+                entry["a_q"] = jnp.broadcast_to(jnp.asarray(aq16), (L, 16))
+                entry["a_scale"] = jnp.full(
+                    (L,), 3.0 / a_vmax * a_unit, jnp.float32)
+        layers[name] = entry
+    ln = lambda: {"scale": jnp.ones((L, c.d_model), jnp.float32),
+                  "bias": jnp.zeros((L, c.d_model), jnp.float32)}
+    layers["ln_1"], layers["ln_2"] = ln(), ln()
+    top = {
+        "wpe": pinned(lambda k: jax.random.normal(
+            k, (c.max_seq + 2, c.d_model), cfg.dtype) * 0.02, keys[-1]),
+        "ln_f": {"scale": jnp.ones((c.d_model,), jnp.float32),
+                 "bias": jnp.zeros((c.d_model,), jnp.float32)},
+    }
+    if cfg.lm_head_int8:
+        top["wte_i8"] = pinned(lambda k: jax.random.randint(
+            k, (c.vocab_size, c.d_model), -127, 128, jnp.int8), keys[-2])
+        top["wte_scale"] = jnp.full((c.vocab_size,), 0.02 / 127.0,
+                                    jnp.float32)
+    else:
+        top["wte"] = pinned(lambda k: jax.random.normal(
+            k, (c.vocab_size, c.d_model), cfg.dtype) * 0.02, keys[-2])
+    return {"layers": layers, "top": top}
 
 
 def _sync(x):
@@ -119,11 +138,17 @@ def _sync(x):
     return np.asarray(x)
 
 
+def _note(msg):
+    print(f"# .. {msg}", file=sys.stderr, flush=True)
+
+
 def _bench(cfg: eng.EngineConfig, label: str) -> float:
+    _note(f"{label}: building params")
     ep = _rand_engine_params(cfg, jax.random.PRNGKey(0))
     ids = jax.random.randint(jax.random.PRNGKey(1), (BATCH, PREFILL), 0,
                              cfg.lm.vocab_size)
     kv = eng.init_cache(cfg, BATCH)
+    _note(f"{label}: params + cache ready")
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def prefill(ep, ids, kv):
@@ -142,8 +167,10 @@ def _bench(cfg: eng.EngineConfig, label: str) -> float:
 
     logits, kv = prefill(ep, ids, kv)
     tok = jnp.argmax(logits[:, -1:], axis=-1)
+    _note(f"{label}: prefill done")
     tok, kv = decode_n(ep, tok, kv)      # compile + warm
     _sync(tok)
+    _note(f"{label}: decode warm done")
 
     t0 = time.perf_counter()
     reps = 3
@@ -162,16 +189,85 @@ def main():
                                                       profile_dir_from_env)
     qcfg = eng.EngineConfig(
         lm=LM, weight_mode="w4", act_bits=4, kv_int8=True, max_seq=MAX_SEQ,
-        lm_head_int8=os.environ.get("BENCH_LM_HEAD_INT8", "1") == "1")
-    bcfg = eng.EngineConfig(lm=LM, weight_mode="bf16", act_bits=0,
-                            kv_int8=False, max_seq=MAX_SEQ)
+        lm_head_int8=os.environ.get("BENCH_LM_HEAD_INT8", "1") == "1",
+        stacked_kernel=os.environ.get("BENCH_STACKED", "1") == "1")
     with maybe_trace(profile_dir_from_env()):
-        tps_q = _bench(qcfg, "W4A4+int8KV")
-    tps_b = _bench(bcfg, "bf16 baseline")
+        tps_q = _bench(qcfg, f"W4A4+int8KV {N_LAYERS}L")
+    import gc
+    gc.collect()        # free the quantized ep before the bf16 baseline
+
+    def bf16_tps(n_layers):
+        bcfg = eng.EngineConfig(lm=_lm(n_layers), weight_mode="bf16",
+                                act_bits=0, kv_int8=False, max_seq=MAX_SEQ)
+        return _bench(bcfg, f"bf16 baseline {n_layers}L")
+
+    def bf16_bytes(n_layers):
+        c = _lm(n_layers)
+        per_layer = (4 * c.d_model ** 2 + 2 * c.d_model * c.d_ff) * 2
+        cache = n_layers * BATCH * c.n_heads * MAX_SEQ * c.head_dim * 2 * 2
+        return (n_layers * per_layer + c.vocab_size * c.d_model * 2
+                + cache + 2 * 10 ** 9)     # + activations/temps margin
+
+    # HARD RULE: never *attempt* an allocation that cannot fit — on the
+    # remote backend a failed multi-GB allocation poisons the server-side
+    # allocator for the rest of the session (measured: after one bf16-32L
+    # OOM, a 5.7 GB build fails with zero live client arrays).
+    HBM_BUDGET = float(os.environ.get("BENCH_HBM_BUDGET", 15e9))
+    tps_b = None
+    if bf16_bytes(N_LAYERS) <= HBM_BUDGET:
+        try:
+            tps_b = bf16_tps(N_LAYERS)
+            base_note = f"measured bf16 {N_LAYERS}L"
+        except Exception as e:
+            print(f"# bf16 {N_LAYERS}L failed ({type(e).__name__}); "
+                  f"depth-scaling a {BASE_LAYERS}L baseline",
+                  file=sys.stderr)
+    else:
+        print(f"# bf16 {N_LAYERS}L needs ~{bf16_bytes(N_LAYERS)/1e9:.1f} "
+              f"GB > budget; depth-scaling a {BASE_LAYERS}L baseline",
+              file=sys.stderr)
+    if tps_b is None:
+        # IMPORTANT: run the fallback OUTSIDE the except block — the live
+        # exception's traceback pins the half-built bf16 tree (gigabytes)
+        # in its frame locals, which would OOM the fallback itself. The
+        # remote backend also frees device buffers asynchronously, so
+        # retry with a settle delay if the first fallback build races a
+        # deferred free.
+        def retry(fn, tries=3, delay=20):
+            for t in range(tries):
+                gc.collect()
+                live = [x for x in jax.live_arrays()
+                        if x.size * x.dtype.itemsize > 1 << 20]
+                tot = sum(x.size * x.dtype.itemsize for x in live) / 1e9
+                print(f"# .. live >1MB arrays: {len(live)}, {tot:.2f} GB",
+                      file=sys.stderr, flush=True)
+                for x in sorted(live, key=lambda a: -a.size)[:5]:
+                    print(f"# ..   {x.shape} {x.dtype}", file=sys.stderr,
+                          flush=True)
+                try:
+                    return fn()
+                except Exception as e2:
+                    if t == tries - 1:
+                        raise
+                    print(f"# .. fallback attempt {t} failed "
+                          f"({type(e2).__name__}); waiting for deferred "
+                          f"frees", file=sys.stderr, flush=True)
+                time.sleep(delay)
+
+        # per-layer bf16 time from two depths -> extrapolate to N_LAYERS
+        t12 = BATCH * DECODE_STEPS / retry(
+            lambda: bf16_tps(BASE_LAYERS))
+        half = max(BASE_LAYERS // 2, 1)
+        t6 = BATCH * DECODE_STEPS / retry(lambda: bf16_tps(half))
+        per_layer = (t12 - t6) / (BASE_LAYERS - half)
+        t_full = t12 + per_layer * (N_LAYERS - BASE_LAYERS)
+        tps_b = BATCH * DECODE_STEPS / t_full
+        base_note = (f"bf16 {N_LAYERS}L depth-extrapolated from "
+                     f"{half}/{BASE_LAYERS}L measurements")
     print(json.dumps({
-        "metric": (f"decode tokens/s/chip, OPT-6.7B-width {N_LAYERS}L "
+        "metric": (f"decode tokens/s/chip, OPT-6.7B {N_LAYERS}L "
                    f"OliVe-style W4A4 + INT8 KV (bs={BATCH}, "
-                   f"ctx={PREFILL})"),
+                   f"ctx={PREFILL}); baseline: {base_note}"),
         "value": round(tps_q, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tps_q / tps_b, 3),

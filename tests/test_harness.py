@@ -3,6 +3,7 @@ QA post-processing, checkpoint round-trip."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -179,3 +180,50 @@ def test_grad_accum_matches_full_batch():
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_prefetched_preserves_order_and_errors():
+    from ant_quantization_tpu.harness.data import prefetched
+
+    assert list(prefetched(iter(range(20)), depth=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetched(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+
+
+def test_imagefolder_parallel_matches_sync(tmp_path):
+    """Threaded u8 pipeline == synchronous f32 pipeline after on-device
+    normalization (same images, same order)."""
+    import numpy as np
+    from PIL import Image
+
+    from ant_quantization_tpu.harness import data as D
+
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        d = tmp_path / f"class_{c}"
+        d.mkdir()
+        for i in range(7):
+            arr = rng.integers(0, 255, (80, 100, 3), np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    sync = list(D.imagefolder_batches(str(tmp_path), 4, "resnet18",
+                                      workers=0))
+    par = list(D.imagefolder_batches(str(tmp_path), 4, "resnet18",
+                                     workers=4, prefetch=2))
+    par_u8 = list(D.imagefolder_batches(str(tmp_path), 4, "resnet18",
+                                        workers=4, as_uint8=True))
+    assert len(sync) == len(par) == len(par_u8) == 4  # 14 imgs / bs 4
+    for (xs, ls), (xp, lp), (xu, lu) in zip(sync, par, par_u8):
+        np.testing.assert_array_equal(ls, lp)
+        np.testing.assert_array_equal(ls, lu)
+        np.testing.assert_allclose(xs, xp, rtol=1e-6)
+        np.testing.assert_allclose(
+            xs, np.asarray(D.normalize_images(jnp.asarray(xu))),
+            rtol=1e-5, atol=1e-5)

@@ -66,6 +66,8 @@ def parse_args():
                         "identical for BN-free models; BN stats become "
                         "per-microbatch when > 1)")
     p.add_argument("--layers8", "-l8", default=None)
+    p.add_argument("--workers", type=int, default=16,
+                   help="decode threads for the input pipeline")
     p.add_argument("--ckpt_dir", default="checkpoints/qat")
     p.add_argument("--resume", action="store_true")
     return p.parse_args()
@@ -89,15 +91,18 @@ def main():
         if synth:
             return D.synthetic_image_batches(
                 args.batch_size, args.steps_per_epoch or 8, crop, seed=seed)
+        # uint8 pipeline: parallel host decode, on-device normalization
         return D.imagefolder_batches(args.train_dir, args.batch_size,
-                                     args.model)
+                                     args.model, workers=args.workers,
+                                     as_uint8=True)
 
     def val_batches():
         if args.val_dir == "synthetic":
             return D.synthetic_image_batches(args.batch_size, 2, crop,
                                              seed=10_000)
         return D.imagefolder_batches(args.val_dir, args.batch_size,
-                                     args.model)
+                                     args.model, workers=args.workers,
+                                     as_uint8=True)
 
     if variables is None:
         log.warning("no weights: random init")
@@ -108,6 +113,8 @@ def main():
 
     # first-batch calibration + promotion (main.py:190-195)
     images0, labels0 = next(iter(train_batches(0)))
+    if not synth:                     # uint8 pipeline: normalize on host
+        images0 = D.normalize_images(jnp.asarray(images0))
     quant = E.calibrate_on_batches(model, variables,
                                    [(jnp.asarray(images0),)], n8=args.n8,
                                    layer_list=args.layers8, log=log.info)
@@ -132,8 +139,9 @@ def main():
         start_epoch = int(tree.get("epoch", 0)) + 1
         log.info("resumed from epoch %d", start_epoch - 1)
 
-    step_fn = T.make_classification_step(model, tx, has_batch_stats=has_bn,
-                                         grad_accum=args.grad_accum)
+    step_fn = T.make_classification_step(
+        model, tx, has_batch_stats=has_bn, grad_accum=args.grad_accum,
+        preprocess=None if synth else D.normalize_images)
     for epoch in range(start_epoch, args.epochs):
         for i, (images, labels) in enumerate(train_batches(epoch)):
             state, loss = step_fn(state, jnp.asarray(images),
@@ -142,7 +150,10 @@ def main():
                 log.info("epoch %d step %d loss %.4f", epoch, i,
                          float(loss))
         v = {"params": state.params, "quant": state.quant, **state.extra}
-        m = T.evaluate_classification(model, v, val_batches())
+        m = T.evaluate_classification(
+            model, v, val_batches(),
+            preprocess=None if args.val_dir == "synthetic"
+            else D.normalize_images)
         log.info("epoch %d: %s", epoch, m)
         C.save_checkpoint(args.ckpt_dir,
                           {"params": state.params, "quant": state.quant,
@@ -150,7 +161,10 @@ def main():
                           step=epoch)
 
     v = {"params": state.params, "quant": state.quant, **state.extra}
-    results = T.evaluate_classification(model, v, val_batches())
+    results = T.evaluate_classification(
+        model, v, val_batches(),
+        preprocess=None if args.val_dir == "synthetic"
+        else D.normalize_images)
     log.info("Final accuracy: %s", results)
     print(json.dumps(results, indent=2))
 
