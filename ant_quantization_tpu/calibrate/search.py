@@ -285,5 +285,7 @@ def apply_quant(x: jax.Array, state: QuantState, cfg: SiteConfig) -> jax.Array:
     ca = cfg.channel_axis if per_channel else None
     if cfg.use_ovp:
         return olive_fake_quant(x, state.grid, state.outliers, state.alpha,
-                                channel_axis=ca, pair_axis=cfg.pair_axis)
-    return ant_fake_quant(x, state.grid, state.alpha, channel_axis=ca)
+                                channel_axis=ca, pair_axis=cfg.pair_axis,
+                                static_bit=cfg.bit, dyn_bit=state.bit)
+    return ant_fake_quant(x, state.grid, state.alpha, channel_axis=ca,
+                          static_bit=cfg.bit, dyn_bit=state.bit)

@@ -28,9 +28,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["snap", "snap_codes", "snap_bruteforce", "snap_concat"]
+__all__ = ["snap", "snap_codes", "snap_bruteforce", "snap_concat",
+           "snap_uniform"]
 
-_UNROLL_MAX = 33   # grids up to this many entries use fully-unrolled trees
+# Grids up to this many entries use fully-unrolled compare/select trees —
+# XLA fuses the whole chain into ONE pass over x. Larger grids fall back
+# to a lax.scan accumulation, which canNOT fuse across iterations: each
+# of the G-1 steps is a separate full-tensor kernel (measured: a 256-
+# entry scan-path snap at production activation shapes costs ~0.5 s/step
+# and can wedge the TPU worker). 65 covers the 6-bit grids single-pass;
+# 8-bit grids are uniform (bit > 6 forces the int codebook) and should
+# use ``snap_uniform`` instead of the scan.
+_UNROLL_MAX = 65
 
 
 def _midpoint_codes(x: jax.Array, grid: jax.Array,
@@ -89,6 +98,27 @@ def snap(x: jax.Array, grid: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Snap ``x`` onto ``grid``; returns (dequantized, codes)."""
     codes = snap_codes(x, grid)
     return _dequant(codes, grid, x.dtype), codes
+
+
+def snap_uniform(x: jax.Array, grid: jax.Array,
+                 size: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """Snap onto a UNIFORMLY-SPACED sorted grid in O(1) ops: codes =
+    round-half-up((x - g0)/step), clipped — exactly the midpoint rule
+    with ties to the larger value.
+
+    The >6-bit grids are always the int codebook (the reference forces
+    int above 6 bits, quant_modules.py:297), which is uniform, so the
+    256-entry 8-bit snaps never need a 255-step scan. ``size`` defaults
+    to the full grid length (pass the real entry count for padded
+    grids). Dequantized values are reconstructed as g0 + codes*step —
+    equal to the stored entries up to 1 ulp of the entry construction.
+    """
+    G = int(grid.shape[0]) if size is None else size
+    g = grid.astype(x.dtype)
+    g0 = g[0]
+    step = (g[G - 1] - g0) / (G - 1)
+    codes = jnp.clip(jnp.floor((x - g0) / step + 0.5), 0, G - 1)
+    return g0 + codes * step, codes.astype(jnp.int32)
 
 
 def snap_bruteforce(x: jax.Array, grid: jax.Array) -> tuple[jax.Array, jax.Array]:

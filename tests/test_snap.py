@@ -65,3 +65,31 @@ def test_snap_codes_shape_and_dtype(rng):
     assert codes.shape == (8, 16)
     assert codes.dtype in (jnp.int32, jnp.int64)
     assert int(codes.min()) >= 0 and int(codes.max()) < 16
+
+
+def test_snap_uniform_matches_generic():
+    """O(1) uniform-grid snap == the generic midpoint snap on uniform
+    grids (the >6-bit int codebooks), including padded storage."""
+    import numpy as np
+
+    from ant_quantization_tpu.ops.snap import snap, snap_uniform
+
+    rng = np.random.default_rng(0)
+    for G in (16, 256):
+        g0, step = -3.0, 0.0471
+        grid = jnp.asarray(g0 + step * np.arange(G), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1000,)) * 8, jnp.float32)
+        want_q, want_c = snap(x, grid)
+        got_q, got_c = snap_uniform(x, grid)
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
+                                   rtol=1e-6, atol=1e-6)
+    # padded storage: real size 16, padded to 64 by repeating the max
+    grid16 = np.float32(-3.0) + np.float32(0.5) * np.arange(16,
+                                                            dtype=np.float32)
+    padded = jnp.asarray(np.pad(grid16, (0, 48), mode="edge"))
+    x = jnp.asarray(rng.normal(size=(500,)) * 6, jnp.float32)
+    want_q, _ = snap(x, jnp.asarray(grid16))
+    got_q, _ = snap_uniform(x, padded, size=16)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
+                               rtol=1e-6, atol=1e-6)

@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ant_quantization_tpu.utils.platform import honor_platform_env
+
+honor_platform_env()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
