@@ -214,7 +214,10 @@ def calibrate(x: jax.Array, cfg: SiteConfig,
         bit = cfg.bit
         modes = cfg.candidate_modes
         low = 95 if (cfg.family == "ant" and bit > 6) else cfg.low
-        if cfg.family == "ant" and bit > 6:
+        # bit > 6 forces the int codebook in BOTH references (ant
+        # quant_modules.py:482, olive quant_modules.py:271-272); only the
+        # 95% lower bound is ANT-specific.
+        if bit > 6:
             modes = ("int",)
         m, a, s, g, o = _search_bit(x2, cfg, bit, modes, low, per_channel,
                                     signed)

@@ -275,24 +275,51 @@ def prefetched(iterator: Iterator, depth: int = 2) -> Iterator:
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    cancelled = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put that gives up when the consumer goes away, so an
+        # abandoned iterator (break / exception in the step loop) never
+        # leaves the producer blocked on a full queue forever.
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as e:          # surface errors to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # Consumer done or abandoned (GeneratorExit lands here): release
+        # the producer and let upstream generators run their own cleanup.
+        cancelled.set()
+        close = getattr(iterator, "close", None)
+        if close is not None:
+            try:
+                t.join(timeout=5.0)
+                if not t.is_alive():    # never close a generator mid-next()
+                    close()
+            except BaseException:
+                pass
 
 
 def imagefolder_batches(root: str, batch_size: int, model_name: str = "",

@@ -107,17 +107,33 @@ def snap_uniform(x: jax.Array, grid: jax.Array,
     with ties to the larger value.
 
     The >6-bit grids are always the int codebook (the reference forces
-    int above 6 bits, quant_modules.py:297), which is uniform, so the
-    256-entry 8-bit snaps never need a 255-step scan. ``size`` defaults
-    to the full grid length (pass the real entry count for padded
-    grids). Dequantized values are reconstructed as g0 + codes*step —
-    equal to the stored entries up to 1 ulp of the entry construction.
+    int above 6 bits, ant quant_modules.py:482, olive :271), which is
+    uniform, so the 256-entry 8-bit snaps never need a 255-step scan.
+
+    ``size``: the grid's REAL entry count. Storage grids are padded to
+    GRID_PAD=256 by repeating the max entry (calibrate/spec.py), and the
+    real count is not statically known at a promoted site (255 for the
+    signed int grids, 2^bit for unsigned) — so ``size=None`` derives the
+    spacing *dynamically* from the grid itself: step = g[1]-g[0] (exact
+    for any uniform grid, padded or not, with >=2 real entries) and the
+    top code from (g[-1]-g[0])/step. Pass an int only when the real
+    count is statically known. Dequantized values are reconstructed as
+    g0 + codes*step — equal to the stored entries up to 1 ulp of the
+    entry construction.
     """
-    G = int(grid.shape[0]) if size is None else size
     g = grid.astype(x.dtype)
     g0 = g[0]
-    step = (g[G - 1] - g0) / (G - 1)
-    codes = jnp.clip(jnp.floor((x - g0) / step + 0.5), 0, G - 1)
+    if size is None:
+        # first adjacent difference -> real entry count; then recompute
+        # the step from the ENDPOINTS so reconstruction error stays ~1 ulp
+        # instead of accumulating across the grid
+        top = jnp.round((g[-1] - g0) / (g[1] - g0))
+        gmax = g[-1]
+    else:
+        top = size - 1
+        gmax = g[size - 1]
+    step = (gmax - g0) / top
+    codes = jnp.clip(jnp.floor((x - g0) / step + 0.5), 0, top)
     return g0 + codes * step, codes.astype(jnp.int32)
 
 

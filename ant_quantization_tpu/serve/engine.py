@@ -292,11 +292,11 @@ def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict,
 def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
                         site: Dict, stk: Optional[Dict] = None,
                         l=None) -> jax.Array:
-    if stk is not None:
-        return _stacked_matmul(cfg, x2d, stk, l)
     """Matmul WITHOUT the bias (f32): callers add it — _site_matmul for
     column-parallel sites, forward's _reduce after the psum for
     row-parallel ones (so under TP the bias is counted exactly once)."""
+    if stk is not None:
+        return _stacked_matmul(cfg, x2d, stk, l)
     if cfg.weight_mode == "w4":
         if cfg.act_bits and "a_q" in site:
             # snap activations straight into the int8 codebook domain

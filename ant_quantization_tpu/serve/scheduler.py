@@ -81,8 +81,10 @@ class ContinuousBatcher:
 
         ``sampling`` (temperature/top-k/top-p, serve/sampling.py) applies
         to every slot; the default (or temperature=0) is exact greedy.
-        Sampling is reproducible: the key folds in (seed, tick counter),
-        with one subkey per slot."""
+        Sampling is reproducible: one key per tick, folded in from
+        (seed, tick counter) and shared across slots; per-slot draws stay
+        independent because the batched categorical shapes its noise per
+        row."""
         self.cfg = cfg
         self.ep = ep
         self.B = batch_slots

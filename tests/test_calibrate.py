@@ -208,3 +208,29 @@ def test_olive_no_outlier_absmax_init(rng):
     assert int(st.mode_idx) == mode_index(want)
     np.testing.assert_allclose(np.asarray(st.alpha), scores[want][1],
                                rtol=1e-5)
+
+
+def test_olive_8bit_forces_int(rng):
+    """ADVICE r3 (medium): bit > 6 forces the int codebook in BOTH
+    references (olive quant_modules.py:271-272, ant :482) — the family
+    guard must not exempt olive. An 8-bit olive --no_outlier site with an
+    adaptive mode string must calibrate an int (uniform) grid, and the
+    uniform fast-snap path must then reproduce exact grid points."""
+    x = rng.normal(size=(4, 64)).astype(np.float32) * 4.0
+    cfg = SiteConfig(bit=8, mode="ant-int-flint", family="olive",
+                     no_outlier=True, channel_axis=0, scan_step=2,
+                     w_low=75, w_up=250)
+    st = jax.jit(lambda x: calibrate(x, cfg))(jnp.asarray(x))
+    assert int(st.bit) == 8
+    assert int(st.mode_idx) == mode_index("int")
+    grid = cb.olive_grid("int", 8, True)
+    np.testing.assert_allclose(np.asarray(st.grid)[:grid.shape[0]], grid,
+                               rtol=1e-6)
+    # uniform-path snap: a value equal to alpha*g/gmax must round-trip
+    q = apply_quant(jnp.asarray(x), st, cfg)
+    scale = np.asarray(st.alpha)[:, None] / grid.max()
+    xs = x / scale
+    # all snapped values must land on the real (255-entry) grid exactly
+    qs = np.asarray(q) / scale
+    dist = np.abs(qs[..., None] - grid[None, None, :]).min(-1)
+    assert float(dist.max()) < 1e-4

@@ -93,3 +93,30 @@ def test_snap_uniform_matches_generic():
     got_q, _ = snap_uniform(x, padded, size=16)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_snap_uniform_padded_dynamic_size():
+    """ADVICE r3 (high): without an explicit ``size``, snap_uniform must
+    derive the real entry count from the padded grid itself. The olive
+    signed int 8-bit grid has 255 entries (not 256): 0.0 must quantize
+    to exactly 0.0, not to half a step."""
+    import numpy as np
+
+    from ant_quantization_tpu.numerics import codebooks as cb
+    from ant_quantization_tpu.calibrate.spec import pad_grid
+    from ant_quantization_tpu.ops.snap import snap, snap_uniform
+
+    rng = np.random.default_rng(1)
+    for bit, signed in ((8, True), (7, True), (7, False), (8, False)):
+        real = cb.olive_int_values(bit, signed).astype(np.float32)
+        padded = jnp.asarray(pad_grid(real))
+        assert padded.shape[0] == 256
+        x = jnp.asarray(np.concatenate(
+            [rng.normal(size=500) * np.max(np.abs(real)),
+             [0.0, real[0], real[-1]]]), jnp.float32)
+        want_q, _ = snap(x, jnp.asarray(real))
+        got_q, _ = snap_uniform(x, padded)
+        np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
+                                   rtol=1e-5, atol=1e-5)
+        if signed:   # 0 is a grid point of the signed int grids
+            assert float(got_q[-3]) == 0.0
