@@ -44,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["int8_kv_attention", "attention_oracle"]
+__all__ = ["int8_kv_attention", "stacked_int8_kv_attention",
+           "attention_oracle"]
 
 _NEG_BIG = float(np.finfo(np.float32).min)
 
@@ -148,6 +149,118 @@ def int8_kv_attention(q: jax.Array, k_i8: jax.Array, v_i8: jax.Array,
     )(pos, slopes, qs, k_i8, v_i8,
       k_scale.astype(jnp.float32).reshape(B, H, 1, S),
       v_scale.astype(jnp.float32).reshape(B, H, 1, S))
+
+
+def _stacked_kernel(l_ref, pos_ref, slope_ref, q_ref, k_ref, v_ref,
+                    ks_ref, vs_ref, o_ref, *, hb: int, S: int):
+    """Same math as _kernel, but K/V arrive as (hb*S, D) row blocks cut
+    from the flattened (L*B*H*S, D) cache by the layer-aware index_map —
+    the kernel itself never sees the layer dimension."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    T = q_ref.shape[2]
+    pos0 = pos_ref[b, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    rel = col - row - pos0                                   # k_pos - q_pos
+    relf = rel.astype(jnp.float32)
+    keep = rel <= 0
+
+    for h in range(hb):                                      # static unroll
+        q = q_ref[0, h].astype(jnp.float32)                  # (T, D)
+        k = k_ref[h * S:(h + 1) * S, :].astype(jnp.float32)  # (S, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * ks_ref[h, :][None, :]
+        s = s + slope_ref[0, j * hb + h] * relf              # ALiBi (or 0)
+        s = jnp.where(keep, s, _NEG_BIG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = p * vs_ref[h, :][None, :]
+        o = jax.lax.dot_general(pv, v_ref[h * S:(h + 1) * S, :]
+                                .astype(jnp.float32),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_layers", "n_heads",
+                                             "out_dtype", "interpret"))
+def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
+                              k2d: jax.Array, v2d: jax.Array,
+                              ks2d: jax.Array, vs2d: jax.Array,
+                              pos0: jax.Array,
+                              slopes: Optional[jax.Array] = None, *,
+                              n_layers: int, n_heads: int,
+                              out_dtype=jnp.bfloat16,
+                              interpret: bool = False) -> jax.Array:
+    """Layer-indexed variant of :func:`int8_kv_attention` for the
+    layer-``lax.scan`` serving engine.
+
+    Scanning *over* the stacked (L, B, H, S, D) cache costs two ~full-
+    layer copies per layer (xs dynamic-slice out + ys update-slice back
+    — measured ~3.8 ms/step of a 15.3 ms OPT-6.7B decode step, r4
+    profile). Instead the cache stays in the scan **carry**, flattened to
+    2-D (the known-good int8 Pallas layout, kernels/stacked.py), and the
+    layer index ``l`` arrives by scalar prefetch consumed by the
+    BlockSpec index_map — each grid step DMAs layer l's (hb, S, D) tiles
+    straight from HBM, no per-layer slice ever materializes.
+
+    l:          () int32 layer index
+    q:          (B, H, T, D) float queries
+    k2d, v2d:   (L*B*H*S, D) int8 — the stacked cache, row-flattened
+    ks2d, vs2d: (L*B*H, S) f32 per-position dequant scales
+    pos0:       (B,) int32 first query position per sequence
+    slopes:     optional (H,) f32 ALiBi slopes
+    returns     (B, H, T, D) out_dtype
+    """
+    B, H, T, D = q.shape
+    assert H == n_heads
+    S = k2d.shape[0] // (n_layers * B * H)
+    assert k2d.shape[0] == n_layers * B * H * S
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True   # compiled Pallas is TPU-only; CPU = tests
+    hb = _head_chunk(H, S, D, T)
+    qs = q.astype(jnp.float32) * np.float32(1.0 / np.sqrt(D))
+    pos = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1),
+                           (B,)).reshape(B, 1)
+    if slopes is None:
+        slopes = jnp.zeros((H,), jnp.float32)
+    slopes = slopes.astype(jnp.float32).reshape(1, H)
+
+    # global row start of head-chunk (l, b, j): (l·B·H + b·H + j·hb)·S;
+    # hb | H, so in units of the (hb·S, D) block this is exact:
+    kv_index = lambda b, j, l_ref: (((l_ref[0] * B + b) * H) // hb + j, 0)
+    sc_index = lambda b, j, l_ref: (((l_ref[0] * B + b) * H) // hb + j, 0)
+
+    return pl.pallas_call(
+        functools.partial(_stacked_kernel, hb=hb, S=S),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H // hb),
+            in_specs=[
+                pl.BlockSpec((B, 1), lambda b, j, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, H), lambda b, j, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, hb, T, D), lambda b, j, *_: (b, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb * S, D), kv_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb * S, D), kv_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, S), sc_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, S), sc_index, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, hb, T, D),
+                                   lambda b, j, *_: (b, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), out_dtype),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), pos, slopes, qs,
+      k2d, v2d, ks2d.astype(jnp.float32), vs2d.astype(jnp.float32))
 
 
 def attention_oracle(q, k_i8, v_i8, k_scale, v_scale, pos0, slopes=None):

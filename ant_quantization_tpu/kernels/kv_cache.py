@@ -19,7 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QuantKV", "init_kv", "append_kv", "dequant_kv"]
+__all__ = ["QuantKV", "init_kv", "append_kv", "append_kv_stacked",
+           "dequant_kv"]
 
 
 class QuantKV(NamedTuple):
@@ -66,6 +67,44 @@ def append_kv(cache: QuantKV, k: jax.Array, v: jax.Array,
             row = lambda b, w, i: jax.lax.dynamic_update_slice(
                 b, w.astype(b.dtype), (0, i) + (0,) * (b.ndim - 2))
             return jax.vmap(row)(buf, val, index)
+    if cache.k.dtype == jnp.int8:
+        kq, ks = _quantize(k)
+        vq, vs = _quantize(v)
+        return QuantKV(upd(cache.k, kq), upd(cache.v, vq),
+                       upd(cache.k_scale, ks), upd(cache.v_scale, vs))
+    return QuantKV(upd(cache.k, k), upd(cache.v, v),
+                   cache.k_scale, cache.v_scale)
+
+
+def append_kv_stacked(cache: QuantKV, k: jax.Array, v: jax.Array,
+                      layer, index) -> QuantKV:
+    """Write new (B, T, H, D) keys/values for ONE layer into the stacked
+    (L, B, H, S, D) cache at position ``index``.
+
+    The layer-scan serving engine keeps the stacked cache in the scan
+    *carry* (not xs/ys — that costs two full-layer copies per layer, see
+    kernels/attention.py:stacked_int8_kv_attention) and updates it with
+    small dynamic_update_slices that XLA performs in place on the loop
+    carry. ``index`` may be a scalar (shared write position) or a (B,)
+    vector (continuous batching)."""
+    layer = jnp.asarray(layer, jnp.int32)
+    index = jnp.asarray(index)
+    k = jnp.transpose(k, (0, 2, 1, 3))   # -> (B, H, T, D), cache layout
+    v = jnp.transpose(v, (0, 2, 1, 3))
+    B = k.shape[0]
+    if index.ndim == 0:
+        # buffers are (L, B, H, S, ...): S is axis 3
+        upd = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val[None].astype(buf.dtype),
+            (layer, 0, 0, index) + (0,) * (buf.ndim - 4))
+    else:
+        def upd(buf, val):
+            # one small in-place DUS per sequence (B is small and static)
+            for b in range(B):
+                buf = jax.lax.dynamic_update_slice(
+                    buf, val[b:b + 1][None].astype(buf.dtype),
+                    (layer, b, 0, index[b]) + (0,) * (buf.ndim - 4))
+            return buf
     if cache.k.dtype == jnp.int8:
         kq, ks = _quantize(k)
         vq, vs = _quantize(v)

@@ -35,8 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels.attention import int8_kv_attention
-from ..kernels.kv_cache import QuantKV, append_kv, init_kv
+from ..kernels.attention import int8_kv_attention, stacked_int8_kv_attention
+from ..kernels.kv_cache import (QuantKV, append_kv, append_kv_stacked,
+                                init_kv)
 from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
                                quantized_matmul_w4, quantize_weights_w4_i8)
 from ..kernels.stacked import stacked_quant_matmul
@@ -391,6 +392,34 @@ def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
     return out
 
 
+def _attention_stacked(cfg: EngineConfig, q, kv: QuantKV, l, pos0, T,
+                       alibi):
+    """Attention against the FULL stacked (L, ...) cache for layer ``l``.
+
+    The cache lives in the layer-scan *carry*; scanning over it instead
+    costs two ~full-layer copies per layer (r4 profile: ~3.8 ms of a
+    15.3 ms OPT-6.7B decode step). Decode reads go through the
+    layer-indexed Pallas kernel (scalar-prefetch ``l`` in the BlockSpec
+    index_map — no per-layer slice materializes); the prefill fallback
+    slices layer l once, which is amortized over the prefill tokens."""
+    c = cfg.lm
+    qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
+    L, B, H, S, D = kv.k.shape
+    if cfg.kv_int8 and T <= 16:
+        out = stacked_int8_kv_attention(
+            l, qh, kv.k.reshape(L * B * H * S, D),
+            kv.v.reshape(L * B * H * S, D),
+            kv.k_scale.reshape(L * B * H, S),
+            kv.v_scale.reshape(L * B * H, S),
+            pos0, alibi, n_layers=L, n_heads=H, out_dtype=cfg.dtype,
+            interpret=cfg.interpret)
+        return jnp.transpose(out, (0, 2, 1, 3))
+    kv_l = QuantKV(*(jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False)
+                     for a in kv))
+    out = _attention(cfg, q, kv_l, pos0, T, alibi)
+    return out
+
+
 def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
             kv: Tuple, pos0) -> Tuple[jax.Array, Tuple]:
     """Shared prefill/decode forward: writes new K/V at pos0, attends over
@@ -429,12 +458,9 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
 
     stk = _prepare_stacked(cfg, ep, B * T)
 
-    def layer(x, scanned):
-        if stk is None:
-            lay, kv_l = scanned
-            l = None
-        else:
-            lay, kv_l, l = scanned
+    def layer(carry, scanned):
+        x, kv = carry
+        lay, l = scanned
         s = (lambda name: stk.get(name)) if stk else (lambda name: None)
         h = _ln(x, lay["ln_1"], c.ln_eps)
         x2 = h.reshape(B * T, c.d_model)
@@ -451,9 +477,11 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
                               l=l).reshape(B, T, d_attn)
         sh = (B, T, heads, c.head_dim)
         qh, kh, vh = qh.reshape(sh), kh.reshape(sh), vh.reshape(sh)
-        kv_l = append_kv(kv_l, kh.astype(jnp.float32),
-                         vh.astype(jnp.float32), pos_in)
-        a = _attention(cfg, qh, kv_l, pos0, T, alibi)
+        # the stacked cache stays in the CARRY: small in-place writes +
+        # a layer-indexed attention read, never a full-layer copy
+        kv = append_kv_stacked(kv, kh.astype(jnp.float32),
+                               vh.astype(jnp.float32), l, pos_in)
+        a = _attention_stacked(cfg, qh, kv, l, pos0, T, alibi)
         a = a.reshape(B * T, d_attn)
         attn_out = _reduce(_site_matmul_nobias(cfg, a, lay["out"],
                                                stk=s("out"), l=l),
@@ -466,19 +494,19 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
         h2 = _reduce(_site_matmul_nobias(cfg, h2, lay["fc_out"],
                                          stk=s("fc_out"), l=l),
                      lay["fc_out"])
-        return x + h2.reshape(B, T, c.d_model), kv_l
+        return (x + h2.reshape(B, T, c.d_model), kv), None
 
     if stk is None:
-        x, kv = jax.lax.scan(layer, x, (ep["layers"], kv))
+        lay_xs = ep["layers"]
     else:
         # the big weight stacks ride in the kernel closure (streamed by
         # the stacked kernel, indexed by l) — scan only the small leaves
         big = ("w_i8", "packed")
-        small = {k: ({kk: vv for kk, vv in v.items() if kk not in big}
-                     if isinstance(v, dict) else v)
-                 for k, v in ep["layers"].items()}
-        x, kv = jax.lax.scan(layer, x,
-                             (small, kv, jnp.arange(c.n_layers)))
+        lay_xs = {k: ({kk: vv for kk, vv in v.items() if kk not in big}
+                      if isinstance(v, dict) else v)
+                  for k, v in ep["layers"].items()}
+    (x, kv), _ = jax.lax.scan(layer, (x, kv),
+                              (lay_xs, jnp.arange(c.n_layers)))
     x = _ln(x, ep["top"]["ln_f"], c.ln_eps)
     return _lm_logits(ep["top"], x), kv
 

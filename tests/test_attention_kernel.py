@@ -90,3 +90,59 @@ def test_append_layout_roundtrip():
         got = np.asarray(deq2[b, :, i:i + T]).transpose(1, 0, 2)
         np.testing.assert_allclose(got, np.asarray(v_new[b]),
                                    rtol=0.02, atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Layer-indexed stacked-cache variant (the scan-carry serving path)
+# ---------------------------------------------------------------------------
+
+def _rand_stack(L=3, B=2, H=4, S=32, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    k = jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, S)), jnp.float32)
+    return k, v, ks, vs
+
+
+@pytest.mark.parametrize("l,T,pos0", [(0, 1, 7), (2, 1, 0), (1, 5, 3)])
+def test_stacked_kernel_matches_oracle(l, T, pos0):
+    from ant_quantization_tpu.kernels.attention import (
+        stacked_int8_kv_attention)
+    L, B, H, S, D = 3, 2, 4, 32, 16
+    k, v, ks, vs = _rand_stack(L, B, H, S, D, seed=l + T)
+    rng = np.random.default_rng(99)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    p = jnp.full((B,), pos0, jnp.int32)
+    got = stacked_int8_kv_attention(
+        jnp.asarray(l, jnp.int32), q,
+        k.reshape(L * B * H * S, D), v.reshape(L * B * H * S, D),
+        ks.reshape(L * B * H, S), vs.reshape(L * B * H, S), p,
+        n_layers=L, n_heads=H, out_dtype=jnp.float32, interpret=True)
+    want = attention_oracle(q, k[l], v[l], ks[l], vs[l], p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_append_kv_stacked_matches_per_layer():
+    """append_kv_stacked(kv, ..., l, pos) == append_kv on the layer-l
+    slice, for scalar and per-sequence positions."""
+    from ant_quantization_tpu.kernels.kv_cache import (QuantKV,
+                                                       append_kv_stacked)
+    L, B, H, S, D = 3, 2, 4, 16, 8
+    rng = np.random.default_rng(7)
+    base = QuantKV(
+        jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8),
+        jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8),
+        jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, S)), jnp.float32),
+        jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, S)), jnp.float32))
+    kh = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    vh = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    for pos in (jnp.asarray(5), jnp.asarray([3, 9], jnp.int32)):
+        got = append_kv_stacked(base, kh, vh, 1, pos)
+        want_l = append_kv(
+            QuantKV(*(a[1] for a in base)), kh, vh, pos)
+        for g, b0, w in zip(got, base, want_l):
+            np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(b0[0]))
+            np.testing.assert_array_equal(np.asarray(g[2]), np.asarray(b0[2]))
+            np.testing.assert_array_equal(np.asarray(g[1]), np.asarray(w))
