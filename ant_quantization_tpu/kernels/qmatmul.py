@@ -33,7 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.snap import snap_codes
 
 __all__ = ["pack_w4", "quantized_matmul_w4", "dequant_w4_reference",
-           "int8_codebook", "quantize_weights_w4_i8", "fused_w8a8_matmul"]
+           "int8_codebook", "quantize_weights_w4_i8", "fused_w8a8_matmul",
+           "ovp_unit", "quantize_weights_ovp_i8", "ovp_decode_planes",
+           "ovp_decode_values", "OVP_OFFSET", "OVP_SHIFT"]
 
 
 def pack_w4(codes: jax.Array) -> jax.Array:
@@ -320,6 +322,120 @@ def quantize_weights_w4_i8(w: jax.Array, grid: jax.Array,
     for i in range(1, q16.shape[0]):
         w_i8 = jnp.where(codes == i, np.int8(q16[i]), w_i8)
     return w_i8, scale * np.float32(unit)
+
+
+# --- exact OVP (outlier-victim pair) int8 serving encoding ---------------
+#
+# OliVe's abfloat outliers reach 12x the normal grid's max (olive
+# quant_modules.py:156-179: magnitudes 48..384 on a 32-normalized grid),
+# so OVP-quantized weights are NOT int8 codebook values and the plain
+# "w4" storage cannot serve them. The TPU-native encoding exploits two
+# facts: (1) there is a unit u with every normal value an integer
+# multiple of u bounded by 64, and (2) every abfloat outlier magnitude
+# |v|/u of the form 64 + 16*m with integer 1 <= m <= 63 (abfloat
+# mantissa steps are power-of-two fractions of power-of-two exponents).
+# One int8 byte c per element then carries either kind:
+#
+#     normal  v:  c = v/u                            (|c| <= OVP_OFFSET)
+#     outlier v:  c = sign(v)*(OVP_OFFSET + m),  m = (|v|/u - 64)/16
+#
+# chosen so the decode is LINEAR in two MXU-dottable byte streams:
+#
+#     v/u = 16*c - 15*clip(c, -64, 64)
+#
+# (normals: 16c - 15c = c; outliers: 16*s*(64+m) - 15*s*64 = s*(64+16m))
+# so the matmul reconstructs EXACTLY with two int8 MXU dots from the
+# single int8 stream (kernels/stacked.py ovp mode):
+#
+#     x @ W = (16*(x_q @ c) - 15*(x_q @ clip(c))) * (a_scale * oscale)
+#
+# — exact OliVe OVP serving at int8 HBM bandwidth. The only per-element
+# work is the clamp (one i32 roundtrip on TPU, where the VPU has no i8
+# elementwise ALU); the second dot runs on VMEM-resident data and is
+# MXU-negligible at decode M.
+
+OVP_OFFSET = 64
+OVP_SHIFT = 16
+
+
+def ovp_unit(grid16: np.ndarray, out16: np.ndarray) -> tuple[float, bool]:
+    """Largest unit u making the sign-offset OVP encoding exact.
+
+    Conditions: normals/u integral with |.| <= OVP_OFFSET; every outlier
+    magnitude |o|/u = 64 + 16*m with integer 1 <= m <= 63. Returns
+    (u, exact); u=vmax/127 best-effort when no exact unit exists."""
+    g = np.asarray(grid16, np.float64).reshape(-1)
+    o = np.asarray(out16, np.float64).reshape(-1)
+    vmax = float(np.max(np.abs(g)))
+    if vmax == 0.0:
+        return 1.0, True
+    for d in range(1, 128):
+        u = vmax / d
+        qn = g / u
+        m = (np.abs(o) / u - OVP_OFFSET) / OVP_SHIFT
+        if (np.max(np.abs(qn - np.round(qn))) < 1e-6
+                and np.max(np.abs(qn)) <= OVP_OFFSET + 1e-9
+                and np.max(np.abs(m - np.round(m))) < 1e-6
+                and np.min(m) >= 1 - 1e-9
+                and np.max(m) <= 127 - OVP_OFFSET + 1e-9):
+            return u, True
+    return vmax / 127, False
+
+
+def quantize_weights_ovp_i8(w: jax.Array, grid: jax.Array,
+                            outliers: jax.Array, alpha: jax.Array,
+                            pair_axis: int = 0
+                            ) -> tuple[jax.Array, jax.Array]:
+    """OVP-quantize a (K, N) weight (snap onto grid||outliers, zero the
+    victims — olive quant_modules.py:294-330) and store it in the
+    sign-offset int8 encoding. Returns (w_enc (K, N) int8, oscale (N,))
+    with the dequantized weight equal to
+    ``ovp_decode_planes(w_enc) -> N + 16*O`` times ``oscale`` — exactly
+    the olive fake-quant forward's output."""
+    from ..ops.ovp import apply_ovp
+    from ..ops.snap import snap_concat
+
+    g16 = np.asarray(grid).reshape(-1)[:16]
+    o16 = np.asarray(outliers).reshape(-1)[:16]
+    u, exact = ovp_unit(g16, o16)
+    assert exact, "no exact OVP unit for this grid/outlier pair"
+    vmax = float(np.max(g16))          # reference scale: SIGNED max of
+    scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1),  # normals
+                              (w.shape[1],)) / vmax).astype(jnp.float32)
+    full = jnp.concatenate([jnp.asarray(g16, jnp.float32),
+                            jnp.asarray(o16, jnp.float32)])
+    q, _ = snap_concat(w / scale[None, :], full)
+    q = apply_ovp(q, pair_axis=pair_axis)          # victims -> 0
+    # integer-domain value -> encoded byte, via a 32-entry select tree
+    # over the known codebook values (pack-time only)
+    vals = np.unique(np.concatenate([g16, o16, [0.0]]))
+    thr = float(np.max(np.abs(g16)))
+    def enc(v):
+        if abs(v) <= thr + 1e-9:
+            return int(round(v / u))
+        m = int(round((abs(v) / u - OVP_OFFSET) / OVP_SHIFT))
+        return int(np.sign(v)) * (OVP_OFFSET + m)
+    w_enc = jnp.zeros(q.shape, jnp.int8)
+    for v in vals:
+        w_enc = jnp.where(jnp.abs(q - np.float32(v)) < 1e-5 * max(1, abs(v)),
+                          np.int8(enc(v)), w_enc)
+    return w_enc, scale * np.float32(u)
+
+
+def ovp_clip(c):
+    """clip(c, -64, 64) as int8 — the second dot's operand."""
+    xp = jnp if isinstance(c, jax.Array) else np
+    return xp.clip(c.astype(xp.int32), -OVP_OFFSET,
+                   OVP_OFFSET).astype(xp.int8)
+
+
+def ovp_decode_values(c):
+    """Encoded int8 -> integer-domain values (int32):
+    16*c - 15*clip(c, -64, 64)."""
+    xp = jnp if isinstance(c, jax.Array) else np
+    ci = c.astype(xp.int32)
+    return OVP_SHIFT * ci - (OVP_SHIFT - 1) * xp.clip(ci, -OVP_OFFSET,
+                                                      OVP_OFFSET)
 
 
 def quantize_weights_w4(w: jax.Array, grid: jax.Array,

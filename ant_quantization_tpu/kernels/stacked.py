@@ -72,14 +72,41 @@ def _snap_int8(xs, aq, g):
 
 
 def _i8_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
-               *, n_k: int, g: int):
-    """One (M, bn) int32 tile at K-step kc over int8-value weights."""
+               *, n_k: int, g: int, ovp: bool = False):
+    """One (M, bn) int32 tile at K-step kc over int8-value weights.
+
+    ``ovp=True``: the weight bytes are the sign-offset OVP encoding
+    (kernels/qmatmul.py): |c| <= 64 is a normal value, |c| > 64 an
+    abfloat outlier worth sign(c)*(|c|-64)*16 — reconstructed EXACTLY by
+    two int8 MXU dots on planes split in-register (the HBM stream stays
+    one int8 read; the second dot runs on VMEM-resident data)."""
     kc = pl.program_id(1)
     l = l_ref[0]
     aq = [aq_ref[l, i] for i in range(g)]
     xq = _snap_int8(x_ref[...], aq, g)
-    part = jax.lax.dot_general(xq, w_ref[...], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
+    dims = (((1,), (0,)), ((), ()))
+    if ovp:
+        # decode = 16*(x@c) - 15*(x@clip(c)): the only per-element work
+        # on the weight stream is the clamp. The TPU VPU has no int8
+        # elementwise ALU (even i8 sub/cmp fail to lower), so the clamp
+        # routes through an i32 roundtrip — SUB-CHUNKED along K to keep
+        # the 4x-wider i32 temporaries inside the scoped-vmem budget.
+        bk = w_ref.shape[0]
+        sub = min(bk, 256)
+        part = None
+        for k0 in range(0, bk, sub):
+            wc = w_ref[k0:k0 + sub, :]
+            xc = xq[:, k0:k0 + sub]
+            clip_c = jnp.clip(wc.astype(jnp.int32), -64, 64
+                              ).astype(jnp.int8)
+            p = (16 * jax.lax.dot_general(
+                     xc, wc, dims, preferred_element_type=jnp.int32)
+                 - 15 * jax.lax.dot_general(
+                     xc, clip_c, dims, preferred_element_type=jnp.int32))
+            part = p if part is None else part + p
+    else:
+        part = jax.lax.dot_general(xq, w_ref[...], dims,
+                                   preferred_element_type=jnp.int32)
 
     @pl.when(kc == 0)
     def _():
@@ -151,13 +178,14 @@ def _fit(n: int, want: int, quantum: int = 128) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "n_layers", "block_n",
-                                             "block_k", "affine",
+                                             "block_k", "affine", "ovp",
                                              "interpret"))
 def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
                          scales: jax.Array, a_q: jax.Array,
                          a_scale: jax.Array, q16: Optional[jax.Array],
                          *, mode: str, n_layers: int, block_n: int = 2048,
                          block_k: int = 1024, affine: bool = False,
+                         ovp: bool = False,
                          interpret: bool = False) -> jax.Array:
     """snap(x / a_scale[l]) @ W[l] * scales[l] for one layer of a stack.
 
@@ -191,7 +219,7 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
     aqf = a_q.astype(jnp.float32)
 
     if mode == "i8":
-        kern = functools.partial(_i8_kernel, n_k=n_k, g=g)
+        kern = functools.partial(_i8_kernel, n_k=n_k, g=g, ovp=ovp)
         n_prefetch = 2            # (l, a_q)
         in_specs = [
             pl.BlockSpec((Mp, bk), lambda j, c, *_: (0, c),

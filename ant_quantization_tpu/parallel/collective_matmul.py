@@ -12,11 +12,22 @@ with the dot inside the `lax.fori_loop` body; on a real slice this
 recovers most of the all-gather time for K x N large enough to keep the
 MXU busy one hop.
 
-Used with the quantized engine's layouts: ``ring_allgather_matmul`` is
-the column-parallel entry (sequence-sharded x, output-sharded W),
-``matmul_reducescatter`` the row-parallel exit (input-sharded W, partial
-sums scattered back to sequence shards). Correctness is validated against
-the unfused all_gather/psum_scatter forms on the virtual CPU mesh.
+``ring_allgather_matmul`` is the column-parallel entry (sequence-sharded
+x, output-sharded W), ``matmul_reducescatter`` the row-parallel exit
+(input-sharded W, partial sums scattered back to sequence shards).
+
+The ``*_i8`` variants are the QUANTIZED rings the serving engine's
+sequence-parallel prefill path uses (serve/engine.py:forward, sp branch):
+the activation is snapped to its int8 codebook domain *before* the ring,
+so the all-gather ring carries **int8 codes — 4x less ICI traffic than
+f32** — and every ring step is an int8 x int8 MXU dot accumulating in
+int32; the reduce-scatter ring carries int32 partial sums (exact — no
+precision loss from the ring order). The f32 forms remain for the bf16
+baseline. Correctness of all four is validated against the unfused
+all_gather/psum_scatter forms on the virtual CPU mesh
+(tests/test_collective_matmul.py), and the sharded engine's sp path is
+asserted logits-equal to the single-device engine
+(tests/test_sharded_engine.py).
 """
 
 from __future__ import annotations
@@ -26,7 +37,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ring_allgather_matmul", "matmul_reducescatter"]
+__all__ = ["ring_allgather_matmul", "matmul_reducescatter",
+           "ring_allgather_matmul_i8", "matmul_reducescatter_i8"]
 
 
 def ring_allgather_matmul(x_local: jax.Array, w: jax.Array,
@@ -103,3 +115,71 @@ def matmul_reducescatter(x: jax.Array, w_local: jax.Array,
     acc = jnp.zeros((M_loc, N), jnp.float32)
     acc = jax.lax.fori_loop(0, P, step, acc)
     return acc
+
+
+def ring_allgather_matmul_i8(xq_local: jax.Array, w_i8: jax.Array,
+                             axis_name: str) -> jax.Array:
+    """Quantized column-parallel ring: int8 codes travel the ring.
+
+    xq_local: (M_loc, K) int8 — this device's activation shard, already
+              snapped to the shared int8 codebook domain (the snap is
+              per-tensor, so every device snaps identically)
+    w_i8:     (K, N_loc) int8 codebook-value weights (engine "w4" layout)
+    returns   (P*M_loc, N_loc) int32 — caller applies
+              (a_scale * oscale) and the bias.
+    """
+    P = jax.lax.psum(1, axis_name)
+    i = jax.lax.axis_index(axis_name)
+    M_loc = xq_local.shape[0]
+    N = w_i8.shape[1]
+    out = jnp.zeros((P * M_loc, N), jnp.int32)
+    perm = [(d, (d - 1) % P) for d in range(P)]
+
+    def step(s, carry):
+        chunk, out = carry
+        src = (i + s) % P
+        y = jax.lax.dot_general(chunk, w_i8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, y, (src * M_loc, 0))
+        chunk = jax.lax.ppermute(chunk, axis_name, perm)
+        return chunk, out
+
+    _, out = jax.lax.fori_loop(0, P, step, (xq_local, out))
+    return out
+
+
+def matmul_reducescatter_i8(xq: jax.Array, w_i8_local: jax.Array,
+                            axis_name: str) -> jax.Array:
+    """Quantized row-parallel ring: int32 partial sums travel the ring.
+
+    xq:         (M, K_loc) int8 — full rows snapped to the codebook
+                domain of THIS device's K slice (per-tensor scale)
+    w_i8_local: (K_loc, N) int8 codebook-value weight rows
+    returns     (M_loc, N) int32: this device's M shard of the exact
+                summed product (integer ring — no float reduction-order
+                effects). Caller applies (a_scale * oscale) + bias.
+    """
+    P = jax.lax.psum(1, axis_name)
+    i = jax.lax.axis_index(axis_name)
+    M = xq.shape[0]
+    M_loc = M // P
+    N = w_i8_local.shape[1]
+    perm = [(d, (d + 1) % P) for d in range(P)]
+
+    def partial_for(shard, acc):
+        rows = jax.lax.dynamic_slice(
+            xq, (shard * M_loc, 0), (M_loc, xq.shape[1]))
+        return acc + jax.lax.dot_general(
+            rows, w_i8_local, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def step(s, acc):
+        shard = (i + (P - 1) - s) % P
+        acc = partial_for(shard, acc)
+        return jax.lax.cond(
+            s < P - 1,
+            lambda a: jax.lax.ppermute(a, axis_name, perm),
+            lambda a: a, acc)
+
+    acc = jnp.zeros((M_loc, N), jnp.int32)
+    return jax.lax.fori_loop(0, P, step, acc)

@@ -39,7 +39,8 @@ from ..kernels.attention import int8_kv_attention, stacked_int8_kv_attention
 from ..kernels.kv_cache import (QuantKV, append_kv, append_kv_stacked,
                                 init_kv)
 from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
-                               quantized_matmul_w4, quantize_weights_w4_i8)
+                               quantized_matmul_w4, quantize_weights_ovp_i8,
+                               quantize_weights_w4_i8)
 from ..kernels.stacked import stacked_quant_matmul
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
@@ -75,12 +76,22 @@ class EngineConfig:
     # true 4-bit packed weights decoded in-register).
     stacked_kernel: bool = True
     stacked_max_m: int = 64
+    stacked_block_n: int = 4096  # (4096,1024): 12.04 vs 12.31 ms/step at (2048,1024), r4 measured
+    stacked_block_k: int = 1024
     # Megatron-style tensor parallelism (serve/sharded.py): inside
     # shard_map every layer tensor is a local shard — q/k/v/fc_in column
     # parallel (local heads / local d_ff), out/fc_out row parallel with a
     # psum over ``tp_axis`` before the bias.
     tp_axis: Optional[str] = None
     tp_size: int = 1
+    # Sequence-parallel prefill under TP: activations ride the layers as
+    # per-device sequence shards; column sites use the QUANTIZED
+    # all-gather ring (int8 codes on ICI, 4x less traffic than f32, each
+    # hop overlapped with an int8 MXU dot) and row sites the int32
+    # reduce-scatter ring (parallel/collective_matmul.py). Decode keeps
+    # the replicated + psum path (M is too small to shard). Applies when
+    # weight_mode=w4 with int8-exact activation grids at every site.
+    sp_prefill: bool = True
 
 
 def _stack(trees):
@@ -143,6 +154,22 @@ def quantize_activation(x: jax.Array, grid16: jax.Array,
     return _midpoint_snap(x / scale, grid16) * scale
 
 
+def quantize_activation_ovp(x: jax.Array, grid16: jax.Array,
+                            out16: jax.Array,
+                            alpha: jax.Array) -> jax.Array:
+    """OliVe activation fake-quant with outliers + victim zeroing (olive
+    quant_modules.py:294-330): snap onto the unsorted grid||outlier
+    concat, zero each outlier's pair neighbor along the feature axis."""
+    from ..ops.ovp import apply_ovp
+    from ..ops.snap import snap_concat
+    scale = (alpha / jnp.max(grid16)).astype(jnp.float32)
+    full = jnp.concatenate([grid16.astype(jnp.float32),
+                            out16.astype(jnp.float32)])
+    q, _ = snap_concat(x.astype(jnp.float32) / scale, full)
+    q = apply_ovp(q, pair_axis=-1)
+    return (q * scale).astype(x.dtype)
+
+
 def build_engine_params(cfg: EngineConfig, params: Dict,
                         quant: Optional[Dict] = None) -> Dict:
     """Per-layer param tree (h_0..h_{L-1}) -> stacked engine params.
@@ -153,6 +180,24 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
     c = cfg.lm
     attn_sites = ("qkv", "out") if c.fused_qkv else ("q", "k", "v", "out")
     sites = attn_sites + ("fc_in", "fc_out")
+    # per-SITE OVP decision (any layer with outliers -> the whole stacked
+    # site uses the OVP encoding, so layer dicts stack with equal keys;
+    # outlier-free layers encode identically either way)
+    site_ovp = {s: False for s in sites}
+    site_act_ovp = {s: False for s in sites}
+    if cfg.weight_mode == "w4" and quant:
+        for i in range(c.n_layers):
+            q = quant.get(f"h_{i}")
+            if q is None:
+                continue
+            for site in sites:
+                parent = "attn" if site in attn_sites else None
+                node = q["attn"][site] if parent else q[site]
+                if bool(np.any(np.asarray(node["weight_q"].outliers))):
+                    site_ovp[site] = True
+                if cfg.act_bits and bool(
+                        np.any(np.asarray(node["input_q"].outliers))):
+                    site_act_ovp[site] = True
     layers = []
     for i in range(c.n_layers):
         p = params[f"h_{i}"]
@@ -169,13 +214,30 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
             if cfg.weight_mode == "w4":
                 qs = (q["attn"][site]["weight_q"] if parent
                       else q[site]["weight_q"])
-                w_i8, oscale = quantize_weights_w4_i8(
-                    jnp.asarray(kernel), jnp.asarray(qs.grid),
-                    jnp.asarray(qs.alpha))
-                entry.update(w_i8=w_i8, oscale=oscale)
+                if site_ovp[site]:
+                    # OliVe OVP weights: abfloat outliers exceed int8, so
+                    # the site uses the sign-offset encoding decoded by
+                    # two int8 dots (kernels/qmatmul.py OVP section)
+                    w_i8, oscale = quantize_weights_ovp_i8(
+                        jnp.asarray(kernel), jnp.asarray(qs.grid),
+                        jnp.asarray(qs.outliers), jnp.asarray(qs.alpha),
+                        pair_axis=0)
+                    entry.update(w_i8=w_i8, oscale=oscale,
+                                 ovp=jnp.zeros((), jnp.int32))
+                else:
+                    w_i8, oscale = quantize_weights_w4_i8(
+                        jnp.asarray(kernel), jnp.asarray(qs.grid),
+                        jnp.asarray(qs.alpha))
+                    entry.update(w_i8=w_i8, oscale=oscale)
             elif cfg.weight_mode == "w4pack":
                 qs = (q["attn"][site]["weight_q"] if parent
                       else q[site]["weight_q"])
+                if bool(np.any(np.asarray(qs.outliers))):
+                    raise ValueError(
+                        "w4pack cannot represent OliVe outlier grids "
+                        "(abfloat values exceed the 16-entry pack); use "
+                        "weight_mode='w4' — its OVP encoding serves "
+                        "outliers exactly (kernels/qmatmul.py)")
                 grid16 = jnp.asarray(qs.grid)[:16]
                 alpha = jnp.asarray(qs.alpha).reshape(-1)
                 scale = (alpha / jnp.max(grid16)).astype(jnp.float32)
@@ -196,7 +258,14 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
                 a_grid = np.asarray(aq.grid).reshape(-1)[:2 ** cfg.act_bits]
                 entry.update(a_grid=jnp.asarray(a_grid),
                              a_alpha=jnp.asarray(aq.alpha).reshape(()))
-                if cfg.weight_mode in ("w4", "w4pack"):
+                if site_act_ovp[site]:
+                    # OliVe activation outliers: exact OVP fake-quant on
+                    # the forward (quantize_activation_ovp); the int8-MXU
+                    # a_q path would silently drop the outliers
+                    entry.update(a_out=jnp.asarray(
+                        np.asarray(aq.outliers).reshape(-1)[:16],
+                        jnp.float32))
+                elif cfg.weight_mode in ("w4", "w4pack"):
                     a_q16, a_unit, a_exact = int8_codebook(a_grid)
                     if a_exact:
                         # int8 MXU path; inexact grids (unsigned pot/float,
@@ -264,6 +333,7 @@ def _prepare_stacked(cfg: EngineConfig, ep: Dict, M: int) -> Optional[Dict]:
         L = w.shape[0]
         stk[name] = dict(
             mode=mode, n_layers=L, affine="affine4" in site,
+            ovp="ovp" in site,
             w2d=w.reshape(L * w.shape[1], w.shape[2]),
             scales=(site["a_scale"][:, None]
                     * site["oscale"]).astype(jnp.float32),   # (L, N)
@@ -278,7 +348,8 @@ def _stacked_matmul(cfg: EngineConfig, x2d: jax.Array, s: Dict,
     return stacked_quant_matmul(
         l, x2d.astype(jnp.float32), s["w2d"], s["scales"], s["a_q"],
         s["a_scale"], s["q16"], mode=s["mode"], n_layers=s["n_layers"],
-        affine=s["affine"], interpret=cfg.interpret)
+        block_n=cfg.stacked_block_n, block_k=cfg.stacked_block_k,
+        affine=s["affine"], ovp=s["ovp"], interpret=cfg.interpret)
 
 
 def _site_matmul(cfg: EngineConfig, x2d: jax.Array, site: Dict,
@@ -312,19 +383,40 @@ def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
             xq = _midpoint_snap(
                 x2d.astype(jnp.float32) / site["a_scale"],
                 site["a_q"].astype(jnp.float32)).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq, site["w_i8"], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+            dims = (((1,), (0,)), ((), ()))
+            if "ovp" in site:
+                # OVP dual dot: 16*(x@c) - 15*(x@clip(c)) — exact
+                # reconstruction of the outlier-bearing weights from one
+                # int8 stream (qmatmul.py OVP section)
+                from ..kernels.qmatmul import ovp_clip
+                acc = (16 * jax.lax.dot_general(
+                           xq, site["w_i8"], dims,
+                           preferred_element_type=jnp.int32)
+                       - 15 * jax.lax.dot_general(
+                           xq, ovp_clip(site["w_i8"]), dims,
+                           preferred_element_type=jnp.int32))
+            else:
+                acc = jax.lax.dot_general(
+                    xq, site["w_i8"], dims,
+                    preferred_element_type=jnp.int32)
             y = (acc.astype(jnp.float32)
                  * (site["a_scale"] * site["oscale"])[None, :])
         else:
-            if cfg.act_bits and "a_grid" in site:   # non-int8-exact grid
+            if cfg.act_bits and "a_out" in site:    # OliVe act outliers
+                x2d = quantize_activation_ovp(x2d, site["a_grid"],
+                                              site["a_out"],
+                                              site["a_alpha"])
+            elif cfg.act_bits and "a_grid" in site:  # non-int8-exact grid
                 x2d = quantize_activation(x2d, site["a_grid"],
                                           site["a_alpha"])
             mm_dtype = jnp.float32 if cfg.dtype == jnp.float32 \
                 else jnp.bfloat16
-            y = jnp.dot(x2d.astype(mm_dtype),
-                        site["w_i8"].astype(mm_dtype),
+            if "ovp" in site:
+                from ..kernels.qmatmul import ovp_decode_values
+                wv = ovp_decode_values(site["w_i8"]).astype(mm_dtype)
+            else:
+                wv = site["w_i8"].astype(mm_dtype)
+            y = jnp.dot(x2d.astype(mm_dtype), wv,
                         preferred_element_type=jnp.float32)
             y = y * site["oscale"][None, :]
         return y
@@ -495,6 +587,77 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
                                          stk=s("fc_out"), l=l),
                      lay["fc_out"])
         return (x + h2.reshape(B, T, c.d_model), kv), None
+
+    # --- sequence-parallel prefill under TP: quantized collective
+    # matmuls instead of replicated compute + psum ---
+    M = B * T
+    site_names = (("qkv",) if c.fused_qkv else ("q", "k", "v")) + (
+        "out", "fc_in", "fc_out")
+    sp = (cfg.sp_prefill and cfg.tp_axis is not None and cfg.tp_size > 1
+          and stk is None and cfg.weight_mode == "w4" and cfg.act_bits
+          and M % cfg.tp_size == 0 and M >= cfg.tp_size
+          and all("a_q" in ep["layers"][s] and "w_i8" in ep["layers"][s]
+                  and "ovp" not in ep["layers"][s]
+                  for s in site_names))
+    if sp:
+        from ..parallel.collective_matmul import (matmul_reducescatter_i8,
+                                                  ring_allgather_matmul_i8)
+        tp_i = jax.lax.axis_index(cfg.tp_axis)
+        M_loc = M // cfg.tp_size
+
+        def snap_i8(v2d, site):
+            return _midpoint_snap(
+                v2d.astype(jnp.float32) / site["a_scale"],
+                site["a_q"].astype(jnp.float32)).astype(jnp.int8)
+
+        def col_sp(h_loc, site):
+            """(M_loc, K) seq shard -> (M, N_loc) full rows, local cols."""
+            acc = ring_allgather_matmul_i8(snap_i8(h_loc, site),
+                                           site["w_i8"], cfg.tp_axis)
+            y = (acc.astype(jnp.float32)
+                 * (site["a_scale"] * site["oscale"])[None, :])
+            return (y + site["bias"]).astype(cfg.dtype)
+
+        def row_sp(a_full, site):
+            """(M, K_loc) full rows, local K -> (M_loc, N) seq shard."""
+            acc = matmul_reducescatter_i8(snap_i8(a_full, site),
+                                          site["w_i8"], cfg.tp_axis)
+            y = (acc.astype(jnp.float32)
+                 * (site["a_scale"] * site["oscale"])[None, :])
+            return (y + site["bias"]).astype(cfg.dtype)
+
+        def layer_sp(carry, scanned):
+            xs, kv = carry                      # xs: (M_loc, D) seq shard
+            lay, l = scanned
+            h = _ln(xs, lay["ln_1"], c.ln_eps)
+            if c.fused_qkv:
+                qkv = col_sp(h, lay["qkv"]).reshape(B, T, 3 * d_attn)
+                qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+            else:
+                qh = col_sp(h, lay["q"]).reshape(B, T, d_attn)
+                kh = col_sp(h, lay["k"]).reshape(B, T, d_attn)
+                vh = col_sp(h, lay["v"]).reshape(B, T, d_attn)
+            sh = (B, T, heads, c.head_dim)
+            qh, kh, vh = qh.reshape(sh), kh.reshape(sh), vh.reshape(sh)
+            kv = append_kv_stacked(kv, kh.astype(jnp.float32),
+                                   vh.astype(jnp.float32), l, pos_in)
+            a = _attention_stacked(cfg, qh, kv, l, pos0, T, alibi)
+            xs = xs + row_sp(a.reshape(M, d_attn), lay["out"])
+            h = _ln(xs, lay["ln_2"], c.ln_eps)
+            h2 = _act(c.activation, col_sp(h, lay["fc_in"]))
+            xs = xs + row_sp(h2, lay["fc_out"])
+            return (xs, kv), None
+
+        xs = jax.lax.dynamic_slice(
+            x.reshape(M, c.d_model), (tp_i * M_loc, 0),
+            (M_loc, c.d_model))
+        (xs, kv), _ = jax.lax.scan(layer_sp, (xs, kv),
+                                   (ep["layers"], jnp.arange(c.n_layers)))
+        xs = _ln(xs, ep["top"]["ln_f"], c.ln_eps)
+        logits_loc = _lm_logits(ep["top"], xs[None])[0]      # (M_loc, V)
+        logits = jax.lax.all_gather(logits_loc, cfg.tp_axis,
+                                    axis=0, tiled=True)
+        return logits.reshape(B, T, -1), kv
 
     if stk is None:
         lay_xs = ep["layers"]

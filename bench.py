@@ -190,7 +190,9 @@ def main():
     qcfg = eng.EngineConfig(
         lm=LM, weight_mode="w4", act_bits=4, kv_int8=True, max_seq=MAX_SEQ,
         lm_head_int8=os.environ.get("BENCH_LM_HEAD_INT8", "1") == "1",
-        stacked_kernel=os.environ.get("BENCH_STACKED", "1") == "1")
+        stacked_kernel=os.environ.get("BENCH_STACKED", "1") == "1",
+        stacked_block_n=int(os.environ.get("BENCH_BLOCK_N", "4096")),
+        stacked_block_k=int(os.environ.get("BENCH_BLOCK_K", "1024")))
     with maybe_trace(profile_dir_from_env()):
         tps_q = _bench(qcfg, f"W4A4+int8KV {N_LAYERS}L")
     import gc
@@ -254,16 +256,31 @@ def main():
                           f"frees", file=sys.stderr, flush=True)
                 time.sleep(delay)
 
-        # per-layer bf16 time from two depths -> extrapolate to N_LAYERS
-        t12 = BATCH * DECODE_STEPS / retry(
-            lambda: bf16_tps(BASE_LAYERS))
+        # per-layer bf16 time from THREE depths -> least-squares line,
+        # extrapolated to N_LAYERS; fit quality reported in the metric
+        # (VERDICT r3 #6: linearity as data, not assumption). The largest
+        # depth is the biggest bf16 model that fits the HBM budget.
         half = max(BASE_LAYERS // 2, 1)
-        t6 = BATCH * DECODE_STEPS / retry(lambda: bf16_tps(half))
-        per_layer = (t12 - t6) / (BASE_LAYERS - half)
-        t_full = t12 + per_layer * (N_LAYERS - BASE_LAYERS)
+        big = BASE_LAYERS
+        for cand in (2 * BASE_LAYERS, BASE_LAYERS + BASE_LAYERS // 2):
+            if bf16_bytes(cand) <= HBM_BUDGET:
+                big = cand
+                break
+        depths = sorted({half, BASE_LAYERS, big})
+        times = [BATCH * DECODE_STEPS / retry(
+            lambda d=d: bf16_tps(d)) for d in depths]
+        A = np.stack([np.asarray(depths, np.float64),
+                      np.ones(len(depths))], axis=1)
+        (per_layer, t0_fit), res, *_ = np.linalg.lstsq(
+            A, np.asarray(times), rcond=None)
+        ss_tot = float(np.var(times) * len(times))
+        r2 = 1.0 - float(res[0]) / ss_tot if len(res) and ss_tot else 1.0
+        t_full = t0_fit + per_layer * N_LAYERS
         tps_b = BATCH * DECODE_STEPS / t_full
-        base_note = (f"bf16 {N_LAYERS}L depth-extrapolated from "
-                     f"{half}/{BASE_LAYERS}L measurements")
+        base_note = (f"bf16 {N_LAYERS}L linear-fit from "
+                     f"{'/'.join(str(d) for d in depths)}L measurements "
+                     f"(slope {per_layer / DECODE_STEPS * 1e3:.3f} "
+                     f"ms/step/layer, R2={r2:.5f})")
     print(json.dumps({
         "metric": (f"decode tokens/s/chip, OPT-6.7B {N_LAYERS}L "
                    f"OliVe-style W4A4 + INT8 KV (bs={BATCH}, "

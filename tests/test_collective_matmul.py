@@ -77,3 +77,46 @@ def test_roundtrip_column_then_row():
     want = jnp.tanh(x @ w1) @ w2
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Quantized rings (the serving engine's sp-prefill collectives)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+def test_allgather_matmul_i8_matches_unfused(p):
+    from ant_quantization_tpu.parallel.collective_matmul import (
+        ring_allgather_matmul_i8)
+    rng = np.random.default_rng(3)
+    M_loc, K, N = 4, 16, 12
+    xq = jnp.asarray(rng.integers(-8, 8, (p * M_loc, K)), jnp.int8)
+    w = jnp.asarray(rng.integers(-8, 8, (K, p * N)), jnp.int8)
+    mesh = _mesh(p)
+
+    got = shard_map(lambda x_l, w_l: ring_allgather_matmul_i8(x_l, w_l,
+                                                              "tp"),
+                    mesh=mesh, in_specs=(P("tp", None), P(None, "tp")),
+                    out_specs=P(None, "tp"), check_vma=False)(xq, w)
+    want = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+def test_matmul_reducescatter_i8_matches_unfused(p):
+    from ant_quantization_tpu.parallel.collective_matmul import (
+        matmul_reducescatter_i8)
+    rng = np.random.default_rng(4)
+    M, K_loc, N = 8 * p, 8, 10
+    xq = jnp.asarray(rng.integers(-8, 8, (M, p * K_loc)), jnp.int8)
+    w = jnp.asarray(rng.integers(-8, 8, (p * K_loc, N)), jnp.int8)
+    mesh = _mesh(p)
+
+    got = shard_map(lambda x_l, w_l: matmul_reducescatter_i8(x_l, w_l,
+                                                             "tp"),
+                    mesh=mesh, in_specs=(P(None, "tp"), P("tp", None)),
+                    out_specs=P("tp", None), check_vma=False)(xq, w)
+    want = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    # int32 ring: EXACT equality, no reduction-order tolerance needed
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -177,3 +177,87 @@ def test_int8_lm_head_tp_matches_single():
     # code step here; the decoded token must not change
     np.testing.assert_allclose(got, want, atol=0.06, rtol=0)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel prefill with quantized collective matmuls (r4)
+# ---------------------------------------------------------------------------
+
+def _setup_prefill(T=64, fused=True):
+    cfg = LMConfig(vocab_size=96, d_model=64, n_layers=2, n_heads=4,
+                   d_ff=128, max_seq=96, positions="learned",
+                   activation="gelu_new", fused_qkv=fused)
+    qcfg = QuantConfig(mode="flint", family="ant",
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    model = TransformerLM(cfg, qcfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, T)))
+    variables = model.init(jax.random.PRNGKey(1), ids)
+    _, upd = model.apply(variables, ids, mutable=["quant"])
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="w4", act_bits=4,
+                            kv_int8=True, max_seq=96, dtype=jnp.float32,
+                            interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"], upd["quant"])
+    return ecfg, ep, ids
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_sp_prefill_matches_single(fused):
+    """Prefill at M=128 > stacked_max_m takes the sequence-parallel path
+    (quantized AG/RS rings): logits must match the single-device engine."""
+    ecfg, ep, ids = _setup_prefill(fused=fused)
+    got, want, _ = _run_pair(ecfg, ep, ids, 1, 4)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_prefill_hlo_uses_rings_not_allreduce():
+    """The sp prefill's compiled HLO must contain collective-permutes
+    (the rings) and NO all-reduce: the psums are gone, replaced by the
+    overlapped quantized collectives."""
+    ecfg, ep, ids = _setup_prefill()
+    mesh = make_mesh((1, 4), devices=jax.devices("cpu")[:4])
+    tcfg = sh.tp_engine_config(ecfg, mesh)
+    eps = sh.shard_engine_params(ep, tcfg, mesh)
+    kv = sh.shard_cache(eng.init_cache(ecfg, ids.shape[0]), mesh)
+    fwd = sh.make_sharded_forward(tcfg, mesh)
+    txt = jax.jit(fwd).lower(
+        eps, ids, kv, jnp.zeros((ids.shape[0],), jnp.int32)
+    ).compile().as_text()
+    assert "collective-permute" in txt
+    n_ar = txt.count(" all-reduce(")
+    assert n_ar == 0, f"sp prefill should have no all-reduce, found {n_ar}"
+
+
+def test_decode_hlo_two_psums_per_layer():
+    """Megatron invariant locked at the HLO level (VERDICT r3 #7): the
+    TP decode step contains exactly 2 all-reduces in the layer-scan body
+    (attn out + fc_out row-parallel psums) — a regression that adds a
+    gather/reduce per layer fails here, not in CPU-mesh timing noise."""
+    ecfg, ep, ids = _setup_prefill(T=8)      # M=16 <= stacked_max_m
+    mesh = make_mesh((1, 4), devices=jax.devices("cpu")[:4])
+    tcfg = sh.tp_engine_config(ecfg, mesh)
+    eps = sh.shard_engine_params(ep, tcfg, mesh)
+    kv = sh.shard_cache(eng.init_cache(ecfg, ids.shape[0]), mesh)
+    fwd = sh.make_sharded_forward(tcfg, mesh)
+    tok = jnp.ones((2, 1), jnp.int32)
+    txt = jax.jit(fwd).lower(
+        eps, tok, kv, jnp.full((2,), 8, jnp.int32)
+    ).compile().as_text()
+    n_ar = txt.count(" all-reduce(")
+    # the lax.scan body appears once in the HLO: 2 all-reduces total
+    assert n_ar == 2, f"expected 2 all-reduces (scan body), found {n_ar}"
+
+
+def test_w4_ovp_tp_matches_single():
+    """OliVe outlier (OVP) serving under TP: the sign-offset encoded
+    weights shard column/row-wise like plain int8 values; logits match
+    the single-device engine."""
+    cfg = _cfg(fused=True)
+    qcfg = QuantConfig(mode="ant-int-flint", family="olive",
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    ecfg, ep, ids = _setup(cfg, qcfg, weight_mode="w4", act_bits=4,
+                           kv_int8=True)
+    assert any("ovp" in ep["layers"][s]
+               for s in ("qkv", "out", "fc_in", "fc_out"))
+    got, want, _ = _run_pair(ecfg, ep, ids, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

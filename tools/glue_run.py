@@ -100,6 +100,11 @@ def _encoded_batches(args, split, tokenizer, shuffle_seed=None):
 
 
 def main():
+    # multi-host entry (no-op unless ANT_COORDINATOR/ANT_DISTRIBUTED set;
+    # see parallel/distributed.py for the pod launch line)
+    from ant_quantization_tpu.parallel.distributed import (
+        initialize_from_env)
+    initialize_from_env()
     args = parse_args()
     log = setup_logger("glue_run")
     num_labels = D.glue_num_labels(args.task)

@@ -66,6 +66,11 @@ def parse_args():
 
 
 def main():
+    # multi-host entry (no-op unless ANT_COORDINATOR/ANT_DISTRIBUTED set;
+    # see parallel/distributed.py for the pod launch line)
+    from ant_quantization_tpu.parallel.distributed import (
+        initialize_from_env)
+    initialize_from_env()
     args = parse_args()
     log = setup_logger("imagenet_eval")
 

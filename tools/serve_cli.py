@@ -137,6 +137,11 @@ def read_prompts(args, tokenizer):
 
 
 def main(argv=None):
+    # multi-host entry (no-op unless ANT_COORDINATOR/ANT_DISTRIBUTED set;
+    # see parallel/distributed.py for the pod launch line)
+    from ant_quantization_tpu.parallel.distributed import (
+        initialize_from_env)
+    initialize_from_env()
     args = parse_args(argv)
     qcfg = QuantConfig(mode=args.mode, family=args.family, wbit=args.wbit,
                       abit=args.abit, w_low=args.w_low, w_up=args.w_up,

@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--decode", type=int, default=32)
     p.add_argument("--weight_mode", default="w4",
                    choices=("w4", "bf16"))
+    p.add_argument("--sp", default="on", choices=("on", "off"),
+                   help="sequence-parallel prefill with the quantized "
+                        "collective-matmul rings (engine sp_prefill)")
     p.add_argument("--output", default=None)
     return p.parse_args(argv)
 
@@ -71,6 +74,7 @@ def main(argv=None):
     cfg = eng.EngineConfig(lm=lm, weight_mode=args.weight_mode,
                            act_bits=4 if args.weight_mode == "w4" else 0,
                            kv_int8=args.weight_mode == "w4",
+                           sp_prefill=args.sp == "on",
                            max_seq=max_seq)
     tcfg = sh.tp_engine_config(cfg, mesh)
 
@@ -123,8 +127,16 @@ def main(argv=None):
     pos0 = jnp.zeros((args.batch,), jnp.int32)
     logits, kv = fwd(ep, ids, kv, pos0)
     tok = jnp.argmax(logits[:, -1:], axis=-1)
-
     np.asarray(tok)
+
+    # prefill timing (the sp_prefill collective-matmul surface): re-run
+    # the compiled prefill on a fresh cache
+    kv_p = sh.shard_cache(eng.init_cache(cfg, args.batch), mesh)
+    t0 = time.perf_counter()
+    logits_p, kv_p = fwd(ep, ids, kv_p, pos0)
+    np.asarray(jnp.argmax(logits_p[:, -1:], axis=-1))
+    prefill_ms = (time.perf_counter() - t0) * 1e3
+    del kv_p
     t0 = time.perf_counter()
     for step in range(args.decode):
         logits, kv = fwd(ep, tok, kv,
@@ -138,6 +150,8 @@ def main(argv=None):
     result = {"mesh": {"dp": args.dp, "tp": tp},
               "devices": args.dp * tp,
               "weight_mode": args.weight_mode,
+              "sp_prefill": args.sp == "on",
+              "prefill_ms": round(prefill_ms, 1),
               "decode_tokens_per_s": round(tps, 1),
               "ms_per_step": round(dt / args.decode * 1e3, 2)}
     print(json.dumps(result))
