@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .snap import snap, snap_concat, snap_uniform
+from .snap import (snap, snap_concat, snap_concat_value, snap_uniform,
+                   snap_value)
 from .ovp import apply_ovp
 
 __all__ = ["ant_fake_quant", "olive_fake_quant", "expand_alpha"]
@@ -41,15 +42,18 @@ def _snap_sized(xs: jax.Array, grid: jax.Array, static_bit, dyn_bit):
     ``static_bit=None`` keeps the legacy padded-scan behavior.
     """
     if static_bit is None:
-        return snap(xs, grid)[0]
+        return snap_value(xs, grid)
     if static_bit > 6:
         return snap_uniform(xs, grid)[0]
     g_small = grid[: 2 ** static_bit]
-    return jax.lax.cond(
-        dyn_bit > 6,
-        lambda v: snap_uniform(v, grid)[0],
-        lambda v: snap(v, g_small)[0],
-        xs)
+    # BOTH branches are cheap (unrolled tree / O(1) uniform), so compute
+    # both and select: a lax.cond here costs ~130 us per site per step in
+    # XLA overhead and blocks fusion — the r4 trace showed 42 cond.clones
+    # = 5.5 ms (+1.8 ms of copies) of the 9.6 ms resnet18 QAT overhead.
+    # snap_value: direct threshold/select chain, half the VPU ops of the
+    # codes-then-dequant route.
+    return jnp.where(dyn_bit > 6, snap_uniform(xs, grid)[0],
+                     snap_value(xs, g_small))
 
 
 def expand_alpha(alpha: jax.Array, ndim: int, channel_axis: int | None) -> jax.Array:
@@ -106,12 +110,12 @@ def olive_fake_quant(x: jax.Array, grid: jax.Array, outliers: jax.Array | None,
             n = 2 ** static_bit
             full = jnp.concatenate([grid[:n],
                                     outliers[:n].astype(grid.dtype)])
-            qq, _ = snap_concat(v, full)
+            qq = snap_concat_value(v, full)
             return apply_ovp(qq, pair_axis=pair_axis)
 
         def big(v):
             full = jnp.concatenate([grid, outliers.astype(grid.dtype)])
-            qq, _ = snap_concat(v, full)
+            qq = snap_concat_value(v, full)
             return apply_ovp(qq, pair_axis=pair_axis)
 
         if static_bit is None:

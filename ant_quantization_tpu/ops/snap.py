@@ -28,8 +28,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["snap", "snap_codes", "snap_bruteforce", "snap_concat",
-           "snap_uniform"]
+__all__ = ["snap", "snap_codes", "snap_value", "snap_bruteforce",
+           "snap_concat", "snap_concat_value", "snap_uniform"]
 
 # Grids up to this many entries use fully-unrolled compare/select trees —
 # XLA fuses the whole chain into ONE pass over x. Larger grids fall back
@@ -100,6 +100,31 @@ def snap(x: jax.Array, grid: jax.Array) -> tuple[jax.Array, jax.Array]:
     return _dequant(codes, grid, x.dtype), codes
 
 
+def snap_value(x: jax.Array, grid: jax.Array) -> jax.Array:
+    """Snapped VALUES only, via a direct threshold/select chain:
+    ``out = where(x >= mid_i, g[i+1], out)`` cumulatively — G-1 compares
+    + G-1 selects, HALF the ops of snap()'s codes-then-dequant route
+    (G-1 compares + adds, then G-1 equality compares + selects). Same
+    midpoint tie-to-larger rule. The fake-quant hot paths (QAT forward)
+    never need the codes."""
+    g = grid.astype(x.dtype)
+    mids = (g[1:] + g[:-1]) * 0.5
+    G = g.shape[0]
+    if G <= _UNROLL_MAX:
+        out = jnp.full(x.shape, g[0], x.dtype)
+        for i in range(G - 1):
+            out = jnp.where(x >= mids[i], g[i + 1], out)
+        return out
+
+    def body(out, mg):
+        m, gi = mg
+        return jnp.where(x >= m, gi, out), None
+
+    out, _ = jax.lax.scan(body, jnp.full(x.shape, g[0], x.dtype),
+                          (mids, g[1:]))
+    return out
+
+
 def snap_uniform(x: jax.Array, grid: jax.Array,
                  size: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Snap onto a UNIFORMLY-SPACED sorted grid in O(1) ops: codes =
@@ -168,3 +193,30 @@ def snap_concat(x: jax.Array, grid: jax.Array) -> tuple[jax.Array, jax.Array]:
     tie_hi = order[1:] >= order[:-1]
     codes = _midpoint_codes(x, sg, tie_hi=tie_hi)
     return _dequant(codes, sg, x.dtype), codes
+
+
+def snap_concat_value(x: jax.Array, grid: jax.Array) -> jax.Array:
+    """Values-only :func:`snap_concat` via the direct threshold/select
+    chain (half the ops — see snap_value); same unsorted-concat tie
+    rule."""
+    grid = grid.astype(x.dtype)
+    order = jnp.argsort(grid, stable=True)
+    sg = grid[order]
+    tie_hi = order[1:] >= order[:-1]
+    mids = (sg[1:] + sg[:-1]) * 0.5
+    G = sg.shape[0]
+    if G <= _UNROLL_MAX:
+        out = jnp.full(x.shape, sg[0], x.dtype)
+        for i in range(G - 1):
+            take = (x > mids[i]) | ((x == mids[i]) & tie_hi[i])
+            out = jnp.where(take, sg[i + 1], out)
+        return out
+
+    def body(out, mtg):
+        m, th, gi = mtg
+        take = (x > m) | ((x == m) & th)
+        return jnp.where(take, gi, out), None
+
+    out, _ = jax.lax.scan(body, jnp.full(x.shape, sg[0], x.dtype),
+                          (mids, tie_hi, sg[1:]))
+    return out

@@ -44,8 +44,7 @@ from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
 from ..kernels.stacked import stacked_quant_matmul
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
-from ..ops.snap import snap as ops_snap
-from ..ops.snap import snap_codes
+from ..ops.snap import snap_codes, snap_value
 
 
 
@@ -101,9 +100,10 @@ def _stack(trees):
 def _midpoint_snap(x: jax.Array, grid: jax.Array) -> jax.Array:
     """Snap x onto a sorted grid — ops/snap.py's midpoint-threshold snap
     (pure VPU compares/selects, ties to the larger value, the CUDA
-    kernel's rule). Large grids (the 256-entry A8 codebooks) take the
-    lax.scan accumulation path instead of inlining ~510 ops per site."""
-    return ops_snap(x, grid.astype(x.dtype))[0]
+    kernel's rule). snap_value is the direct threshold/select chain
+    (half the ops of codes-then-dequant); large grids (the 256-entry A8
+    codebooks) take its lax.scan path."""
+    return snap_value(x, grid.astype(x.dtype))
 
 
 def quantize_lm_head(wte: jax.Array) -> Dict[str, jax.Array]:

@@ -120,3 +120,42 @@ def test_snap_uniform_padded_dynamic_size():
                                    rtol=1e-5, atol=1e-5)
         if signed:   # 0 is a grid point of the signed int grids
             assert float(got_q[-3]) == 0.0
+
+
+def test_snap_value_matches_snap():
+    """Direct value select-tree == codes-then-dequant, unrolled and
+    scan paths, including midpoint ties."""
+    import numpy as np
+
+    from ant_quantization_tpu.numerics import codebooks as cb
+    from ant_quantization_tpu.ops.snap import snap, snap_value
+
+    rng = np.random.default_rng(3)
+    for grid in (cb.ant_grid("flint", 4, True),
+                 cb.ant_grid("pot", 6, False),
+                 cb.ant_grid("int", 8, True)):       # 255 entries: scan
+        g = jnp.asarray(grid)
+        x = jnp.asarray(rng.normal(size=(500,)) * 12, jnp.float32)
+        mids = (grid[1:] + grid[:-1]) / 2            # exact ties too
+        x = jnp.concatenate([x, jnp.asarray(mids, jnp.float32)])
+        want, _ = snap(x, g)
+        got = snap_value(x, g)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_snap_concat_value_matches_snap_concat():
+    import numpy as np
+
+    from ant_quantization_tpu.numerics import codebooks as cb
+    from ant_quantization_tpu.ops.snap import snap_concat, snap_concat_value
+
+    rng = np.random.default_rng(4)
+    grid = np.concatenate([cb.olive_grid("flint", 4, True),
+                           cb.olive_outlier_values(4, True)])
+    g = jnp.asarray(grid, jnp.float32)
+    sg = np.sort(grid)
+    x = jnp.asarray(np.concatenate(
+        [rng.normal(size=400) * 100, (sg[1:] + sg[:-1]) / 2]), jnp.float32)
+    want, _ = snap_concat(x, g)
+    got = snap_concat_value(x, g)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
