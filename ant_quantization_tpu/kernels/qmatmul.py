@@ -369,13 +369,20 @@ def ovp_unit(grid16: np.ndarray, out16: np.ndarray) -> tuple[float, bool]:
     vmax = float(np.max(np.abs(g)))
     if vmax == 0.0:
         return 1.0, True
+    # zero-padded / absent outlier entries are ordinary (zero) values,
+    # not outliers — only magnitudes beyond the normal grid constrain u
+    o = o[np.abs(o) > vmax + 1e-9]
     for d in range(1, 128):
         u = vmax / d
         qn = g / u
+        ok_n = (np.max(np.abs(qn - np.round(qn))) < 1e-6
+                and np.max(np.abs(qn)) <= OVP_OFFSET + 1e-9)
+        if not ok_n:
+            continue
+        if o.size == 0:
+            return u, True
         m = (np.abs(o) / u - OVP_OFFSET) / OVP_SHIFT
-        if (np.max(np.abs(qn - np.round(qn))) < 1e-6
-                and np.max(np.abs(qn)) <= OVP_OFFSET + 1e-9
-                and np.max(np.abs(m - np.round(m))) < 1e-6
+        if (np.max(np.abs(m - np.round(m))) < 1e-6
                 and np.min(m) >= 1 - 1e-9
                 and np.max(m) <= 127 - OVP_OFFSET + 1e-9):
             return u, True

@@ -56,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stacked_quant_matmul"]
+__all__ = ["stacked_quant_matmul", "stacked_quant_matmul_aovp"]
 
 
 def _snap_int8(xs, aq, g):
@@ -72,7 +72,7 @@ def _snap_int8(xs, aq, g):
 
 
 def _i8_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
-               *, n_k: int, g: int, ovp: bool = False):
+               pw_ref=None, *, n_k: int, g: int, ovp: bool = False):
     """One (M, bn) int32 tile at K-step kc over int8-value weights.
 
     ``ovp=True``: the weight bytes are the sign-offset OVP encoding
@@ -91,6 +91,9 @@ def _i8_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
         # elementwise ALU (even i8 sub/cmp fail to lower), so the clamp
         # routes through an i32 roundtrip — SUB-CHUNKED along K to keep
         # the 4x-wider i32 temporaries inside the scoped-vmem budget.
+        # (Measured faster than clamping into a full-block int8 scratch:
+        # 13.75 vs 16.0 ms/step at OPT-6.7B 32L; the aovp kernel's
+        # 4-dot case prefers the scratch, see _aovp_kernel.)
         bk = w_ref.shape[0]
         sub = min(bk, 256)
         part = None
@@ -164,6 +167,160 @@ def _p4_kernel(l_ref, aq_ref, q16_ref, xlo_ref, xhi_ref, w_ref,
     @pl.when(kc == n_k - 1)
     def _():
         o_ref[...] = acc_ref[...]
+
+
+def _aovp_kernel(l_ref, mids_ref, ties_ref, enc_ref, x_ref, w_ref,
+                 o_ref, acc_ref, pw_ref=None, *, n_k: int, w_ovp: bool,
+                 sub: int):
+    """Full-OliVe tile: OVP-encoded ACTIVATIONS x (possibly OVP-encoded)
+    weights.
+
+    The activation row arrives pre-scaled to the reference integer
+    domain; the kernel snaps it onto the 32-entry grid||outlier concat
+    (31 threshold/selects with the unsorted-concat tie rule, boundaries
+    and encoded bytes scalar-prefetched per layer), zeroes OVP victims
+    (pair logic via lane rolls — parity masks absorb the wrap), and
+    encodes straight into sign-offset bytes cx. With x = 16*cx-15*px and
+    w = 16*cw-15*pw (p = clip at +-64),
+
+        x @ w = 256*cx@cw - 240*cx@pw - 240*px@cw + 225*px@pw
+
+    — four int8 MXU dots per sub-chunk, each int32-exact (sub=256 rows
+    keeps every partial below 2^24), combined into an f32 accumulator:
+    the same accumulation class as the fake-quant reference's f32
+    matmul. Plain int8-value weights need only the 16/-15 pair."""
+    from jax.experimental.pallas import tpu as pltpu
+    kc = pl.program_id(1)
+    l = l_ref[0]
+    xs = x_ref[...]                              # (Mp, bk) f32, v-domain
+    Mp, bk = xs.shape
+
+    # snap -> encoded byte value (f32 select chain, 31 boundaries)
+    cxf = jnp.full(xs.shape, enc_ref[l, 0], jnp.float32)
+    for i in range(mids_ref.shape[1]):
+        m = mids_ref[l, i]
+        t = ties_ref[l, i]
+        take = (xs > m) | ((xs == m) & (t > 0))
+        cxf = jnp.where(take, enc_ref[l, i + 1], cxf)
+
+    # OVP victim zeroing on aligned pairs along K: outliers have
+    # |byte| > 64 by construction. victim_odd = roll(mask, 1) at odd
+    # positions; victim_even = roll(mask & ~victim_odd, -1) at even
+    # (olive quant_modules.py:311-320). Lane-roll wraparound lands only
+    # on positions the parity masks zero out.
+    # roll wants 32-bit lanes (bool rotate unimplemented) and a
+    # non-negative shift (-1 == bk-1 mod bk)
+    m32 = (jnp.abs(cxf) > 64.0).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Mp, bk), 1)
+    is_odd = (col % 2) == 1
+    v_odd = (pltpu.roll(m32, 1, axis=1) == 1) & is_odd
+    keep = m32 * (1 - v_odd.astype(jnp.int32))          # mask & ~v_odd
+    v_even = (pltpu.roll(keep, bk - 1, axis=1) == 1) & (~is_odd)
+    cxf = jnp.where(v_odd | v_even, 0.0, cxf)
+
+    cx = cxf.astype(jnp.int8)
+    px = jnp.clip(cxf, -64.0, 64.0).astype(jnp.int8)
+
+    dims = (((1,), (0,)), ((), ()))
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+
+    # NOTE exactness: full-block int32 dots of the byte planes stay
+    # below 2^31 (|bytes| <= 127, K-block <= 2048 -> < 3.4e7 per dot);
+    # the f32 combine is exact per dot below 2^24 and within 1-ulp-class
+    # error beyond — the same accumulation class as the reference's f32
+    # matmul the engine is asserted against.
+    if w_ovp:
+        for k0 in range(0, bk, sub):
+            pw_ref[k0:k0 + sub, :] = jnp.clip(
+                w_ref[k0:k0 + sub, :].astype(jnp.int32), -64, 64
+            ).astype(jnp.int8)
+        part = (256.0 * d(cx, w_ref[...]) - 240.0 * d(cx, pw_ref[...])
+                - 240.0 * d(px, w_ref[...]) + 225.0 * d(px, pw_ref[...]))
+    else:
+        part = 16.0 * d(cx, w_ref[...]) - 15.0 * d(px, w_ref[...])
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(kc > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(kc == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("n_layers", "block_n",
+                                             "block_k", "w_ovp",
+                                             "interpret"))
+def stacked_quant_matmul_aovp(l: jax.Array, x: jax.Array, w2d: jax.Array,
+                              scales: jax.Array, prescale: jax.Array,
+                              mids: jax.Array, ties: jax.Array,
+                              enc: jax.Array, *, n_layers: int,
+                              block_n: int = 4096, block_k: int = 1024,
+                              w_ovp: bool = False,
+                              interpret: bool = False) -> jax.Array:
+    """Stacked matmul with OVP activations (see _aovp_kernel).
+
+    l:        () int32 layer index
+    x:        (M, K) f32 raw activations
+    w2d:      (L*K, N) int8 — codebook values, or OVP-encoded (w_ovp)
+    scales:   (L, N) f32 output scale (act unit x weight scale, folded)
+    prescale: (L,) f32 — alpha / max(normal grid): x/prescale is the
+              reference integer domain the concat snap runs in
+    mids:     (L, 31) f32 sorted-concat midpoints
+    ties:     (L, 31) int32 tie-to-later-in-concat flags
+    enc:      (L, 32) f32 encoded byte per sorted concat entry
+    Returns (M, N) f32.
+    """
+    M, K = x.shape
+    _, N = w2d.shape
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    assert w2d.shape[0] == n_layers * K
+    l = jnp.asarray(l, jnp.int32)
+    Mp = max(8, -(-M // 8) * 8)
+    sc = jax.lax.dynamic_index_in_dim(prescale, l, 0, keepdims=False)
+    xp = jnp.pad(x.astype(jnp.float32) / sc, ((0, Mp - M), (0, 0)))
+    bn = _fit(N, block_n)
+    bk = _fit(K, block_k)
+    n_n, n_k = N // bn, K // bk
+    assert bk % 2 == 0, "OVP pairs must not straddle blocks"
+
+    scratch = [pltpu.VMEM((Mp, bn), jnp.float32)]
+    if w_ovp:
+        scratch.append(pltpu.VMEM((bk, bn), jnp.int8))   # clip(c) plane
+    acc = pl.pallas_call(
+        functools.partial(_aovp_kernel, n_k=n_k, w_ovp=w_ovp,
+                          sub=min(bk, 256)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,     # (l, mids, ties, enc)
+            grid=(n_n, n_k),
+            in_specs=[
+                pl.BlockSpec((Mp, bk), lambda j, c, *_: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn),
+                             lambda j, c, l_ref, *_:
+                             (l_ref[0] * (K // bk) + c, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Mp, bn), lambda j, c, *_: (0, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        interpret=interpret,
+    )(l.reshape(1), mids.astype(jnp.float32), ties.astype(jnp.int32),
+      enc.astype(jnp.float32), xp, w2d)
+    out_scale = jax.lax.dynamic_index_in_dim(
+        scales.astype(jnp.float32), l, 0, keepdims=False)
+    return acc[:M] * out_scale[None, :]
 
 
 def _fit(n: int, want: int, quantum: int = 128) -> int:
@@ -247,6 +404,7 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
         # xp (M, K): low half feeds the low nibbles, high half the high
         args = (aqf, q16.astype(jnp.int32), xp, xp, w2d)
 
+    scratch = [pltpu.VMEM((Mp, bn), jnp.int32)]
     acc = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -255,7 +413,7 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((Mp, bn), lambda j, c, *_: (0, j),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((Mp, bn), jnp.int32)],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.int32),
         interpret=interpret,

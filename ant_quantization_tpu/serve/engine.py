@@ -41,7 +41,7 @@ from ..kernels.kv_cache import (QuantKV, append_kv, append_kv_stacked,
 from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
                                quantized_matmul_w4, quantize_weights_ovp_i8,
                                quantize_weights_w4_i8)
-from ..kernels.stacked import stacked_quant_matmul
+from ..kernels.stacked import stacked_quant_matmul, stacked_quant_matmul_aovp
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
 from ..ops.snap import snap_codes, snap_value
@@ -170,6 +170,34 @@ def quantize_activation_ovp(x: jax.Array, grid16: jax.Array,
     return (q * scale).astype(x.dtype)
 
 
+def _aovp_encode_tables(a_grid: np.ndarray, a_out16: np.ndarray,
+                        u_a: float) -> Dict[str, jax.Array]:
+    """Per-layer scalar-prefetch tables for the aovp stacked kernel
+    (kernels/stacked.py:stacked_quant_matmul_aovp): sorted grid||outlier
+    concat midpoints, unsorted-concat tie flags, and the sign-offset
+    encoded byte of each sorted entry."""
+    from ..kernels.qmatmul import OVP_OFFSET, OVP_SHIFT
+    av = np.concatenate([np.asarray(a_grid, np.float64),
+                         np.asarray(a_out16, np.float64)])
+    order = np.argsort(av, kind="stable")
+    sg = av[order]
+    ties = (order[1:] >= order[:-1]).astype(np.int32)
+    mids = ((sg[1:] + sg[:-1]) * 0.5).astype(np.float32)
+    thr = float(np.max(np.abs(np.asarray(a_grid))))
+
+    def enc(v):
+        if abs(v) <= thr + 1e-9:
+            return round(v / u_a)
+        m = round((abs(v) / u_a - OVP_OFFSET) / OVP_SHIFT)
+        return int(np.sign(v)) * (OVP_OFFSET + m)
+
+    encs = np.asarray([enc(v) for v in sg], np.float32)
+    return {"aovp_mids": jnp.asarray(mids),
+            "aovp_ties": jnp.asarray(ties),
+            "aovp_enc": jnp.asarray(encs),
+            "aovp_unit": jnp.asarray(np.float32(u_a))}
+
+
 def build_engine_params(cfg: EngineConfig, params: Dict,
                         quant: Optional[Dict] = None) -> Dict:
     """Per-layer param tree (h_0..h_{L-1}) -> stacked engine params.
@@ -260,11 +288,17 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
                              a_alpha=jnp.asarray(aq.alpha).reshape(()))
                 if site_act_ovp[site]:
                     # OliVe activation outliers: exact OVP fake-quant on
-                    # the forward (quantize_activation_ovp); the int8-MXU
-                    # a_q path would silently drop the outliers
-                    entry.update(a_out=jnp.asarray(
-                        np.asarray(aq.outliers).reshape(-1)[:16],
-                        jnp.float32))
+                    # the unfused forward (quantize_activation_ovp); the
+                    # decode path uses the aovp stacked kernel when the
+                    # concat grid admits the sign-offset encoding
+                    a_out16 = np.asarray(aq.outliers).reshape(-1)[:16]
+                    entry.update(a_out=jnp.asarray(a_out16, jnp.float32))
+                    if cfg.weight_mode == "w4":
+                        from ..kernels.qmatmul import ovp_unit
+                        u_a, exact_a = ovp_unit(a_grid, a_out16)
+                        if exact_a:
+                            entry.update(_aovp_encode_tables(
+                                a_grid, a_out16, u_a))
                 elif cfg.weight_mode in ("w4", "w4pack"):
                     a_q16, a_unit, a_exact = int8_codebook(a_grid)
                     if a_exact:
@@ -280,6 +314,16 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
                                      ).astype(jnp.float32))
             lay[site] = entry
         layers.append(lay)
+
+    # aovp tables must be present for EVERY layer of a site (stacked
+    # dicts share keys); if any layer's concat grid had no exact unit,
+    # the whole site falls back to the unfused exact path
+    for site in sites:
+        if not all("aovp_enc" in lay_[site] for lay_ in layers):
+            for lay_ in layers:
+                for k in ("aovp_mids", "aovp_ties", "aovp_enc",
+                          "aovp_unit"):
+                    lay_[site].pop(k, None)
 
     if cfg.weight_mode == "w4pack":
         # sites whose grids are affine (int8 codebook == code - 8, the
@@ -322,6 +366,24 @@ def _prepare_stacked(cfg: EngineConfig, ep: Dict, M: int) -> Optional[Dict]:
         if not isinstance(site, dict) or not (
                 "w_i8" in site or "packed" in site):
             continue
+        if (cfg.weight_mode == "w4" and "aovp_enc" in site
+                and "oscale" in site):
+            # full-OliVe site: OVP activations (and possibly OVP
+            # weights) through the aovp kernel
+            w = site["w_i8"]
+            L = w.shape[0]
+            prescale = (site["a_alpha"]
+                        / jnp.max(site["a_grid"], axis=1)
+                        ).astype(jnp.float32)               # (L,)
+            stk[name] = dict(
+                mode="aovp", n_layers=L, w_ovp="ovp" in site,
+                w2d=w.reshape(L * w.shape[1], w.shape[2]),
+                scales=((prescale * site["aovp_unit"])[:, None]
+                        * site["oscale"]).astype(jnp.float32),
+                prescale=prescale,
+                mids=site["aovp_mids"], ties=site["aovp_ties"],
+                enc=site["aovp_enc"])
+            continue
         if "a_q" not in site or "oscale" not in site:
             return None                     # inexact act grid: fall back
         if cfg.weight_mode == "w4":
@@ -345,6 +407,13 @@ def _prepare_stacked(cfg: EngineConfig, ep: Dict, M: int) -> Optional[Dict]:
 
 def _stacked_matmul(cfg: EngineConfig, x2d: jax.Array, s: Dict,
                     l: jax.Array) -> jax.Array:
+    if s["mode"] == "aovp":
+        return stacked_quant_matmul_aovp(
+            l, x2d.astype(jnp.float32), s["w2d"], s["scales"],
+            s["prescale"], s["mids"], s["ties"], s["enc"],
+            n_layers=s["n_layers"], block_n=cfg.stacked_block_n,
+            block_k=cfg.stacked_block_k, w_ovp=s["w_ovp"],
+            interpret=cfg.interpret)
     return stacked_quant_matmul(
         l, x2d.astype(jnp.float32), s["w2d"], s["scales"], s["a_q"],
         s["a_scale"], s["q16"], mode=s["mode"], n_layers=s["n_layers"],

@@ -141,3 +141,83 @@ def test_stacked_kernel_ovp_dual_dot():
         want = (np.asarray(xq) @ vals) * np.asarray(scales)[l][None, :]
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_aovp_stacked_kernel_matches_unfused_math():
+    """stacked_quant_matmul_aovp (interpret) == OVP activation fake-quant
+    + decoded-weight matmul, with and without OVP weights."""
+    from ant_quantization_tpu.kernels.stacked import (
+        stacked_quant_matmul_aovp)
+    from ant_quantization_tpu.ops.fake_quant import olive_fake_quant
+    from ant_quantization_tpu.kernels.qmatmul import (ovp_unit,
+                                                      ovp_decode_values)
+    from ant_quantization_tpu.serve.engine import _aovp_encode_tables
+
+    L, K, N, M = 2, 32, 16, 4
+    rng = np.random.default_rng(9)
+    a_grid = cb.olive_grid("flint", 4, True).astype(np.float32)
+    a_out = cb.olive_outlier_values(4, True).astype(np.float32)
+    u_a, exact = ovp_unit(a_grid, a_out)
+    assert exact
+    tbl = _aovp_encode_tables(a_grid, a_out, u_a)
+    mids = jnp.tile(tbl["aovp_mids"][None], (L, 1))
+    ties = jnp.tile(tbl["aovp_ties"][None], (L, 1))
+    enc = jnp.tile(tbl["aovp_enc"][None], (L, 1))
+    alpha = np.float32(2.5)
+    prescale = jnp.full((L,), alpha / a_grid.max(), jnp.float32)
+
+    x = jnp.asarray(rng.normal(size=(M, K)) * 3, jnp.float32)
+    for w_ovp in (False, True):
+        if w_ovp:
+            w = jnp.asarray(rng.choice(
+                np.array([-127, -70, -64, -8, 0, 8, 64, 70, 127]),
+                size=(L, K, N)).astype(np.int8))
+            wv = np.stack([np.asarray(ovp_decode_values(w[i]))
+                           for i in range(L)]).astype(np.float32)
+        else:
+            w = jnp.asarray(rng.integers(-64, 65, (L, K, N)), jnp.int8)
+            wv = np.asarray(w, np.float32)
+        oscale = jnp.asarray(rng.uniform(1e-3, 2e-3, (L, N)), jnp.float32)
+        scales = (prescale * np.float32(u_a))[:, None] * oscale
+        for l in range(L):
+            got = stacked_quant_matmul_aovp(
+                jnp.asarray(l), x, w.reshape(L * K, N), scales, prescale,
+                mids, ties, enc, n_layers=L, w_ovp=w_ovp, interpret=True)
+            # reference: OVP fake-quant of x (pair axis -1), then matmul
+            # against decoded weights, in f32
+            from ant_quantization_tpu.serve.engine import (
+                quantize_activation_ovp)
+            xq = quantize_activation_ovp(
+                x, jnp.asarray(a_grid), jnp.asarray(a_out),
+                jnp.asarray(alpha))
+            want = (np.asarray(xq) @ wv[l]) * np.asarray(oscale)[l][None]
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       rtol=2e-5, atol=2e-4)
+
+
+def test_engine_full_olive_stacked_decode_matches_unfused():
+    """Decode through the aovp stacked kernel == the unfused engine on
+    the full OliVe config (weight + activation outliers)."""
+    import dataclasses
+    from ant_quantization_tpu.serve import engine as eng
+    cfg, model, ids, params, quant = _olive_model()
+    base = eng.EngineConfig(lm=cfg, weight_mode="w4", act_bits=4,
+                            kv_int8=True, max_seq=32, dtype=jnp.float32,
+                            interpret=True)
+    ep = eng.build_engine_params(base, params, quant)
+    assert any("aovp_enc" in ep["layers"][s]
+               for s in ("qkv", "out", "fc_in", "fc_out"))
+    kv0 = eng.init_cache(base, 2)
+    logits, kv0 = eng.forward(
+        dataclasses.replace(base, stacked_kernel=False), ep, ids, kv0, 0)
+    tok = jnp.argmax(logits[:, -1:], axis=-1)
+
+    kv_a = eng.init_cache(base, 2)
+    _, kv_a = eng.forward(
+        dataclasses.replace(base, stacked_kernel=False), ep, ids, kv_a, 0)
+    l_unfused, _ = eng.forward(
+        dataclasses.replace(base, stacked_kernel=False), ep, tok, kv0, 12)
+    l_stacked, _ = eng.forward(base, ep, tok, kv_a, 12)
+    np.testing.assert_allclose(np.asarray(l_stacked),
+                               np.asarray(l_unfused),
+                               rtol=2e-4, atol=2e-4)
