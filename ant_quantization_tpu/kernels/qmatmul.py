@@ -34,7 +34,7 @@ from ..ops.snap import snap_codes
 
 __all__ = ["pack_w4", "quantized_matmul_w4", "dequant_w4_reference",
            "int8_codebook", "quantize_weights_w4_i8", "fused_w8a8_matmul",
-           "ovp_unit", "quantize_weights_ovp_i8", "ovp_decode_planes",
+           "ovp_unit", "quantize_weights_ovp_i8", "ovp_clip",
            "ovp_decode_values", "OVP_OFFSET", "OVP_SHIFT"]
 
 
@@ -397,7 +397,7 @@ def quantize_weights_ovp_i8(w: jax.Array, grid: jax.Array,
     victims — olive quant_modules.py:294-330) and store it in the
     sign-offset int8 encoding. Returns (w_enc (K, N) int8, oscale (N,))
     with the dequantized weight equal to
-    ``ovp_decode_planes(w_enc) -> N + 16*O`` times ``oscale`` — exactly
+    ``ovp_decode_values(w_enc) * oscale`` — exactly
     the olive fake-quant forward's output."""
     from ..ops.ovp import apply_ovp
     from ..ops.snap import snap_concat
@@ -405,7 +405,11 @@ def quantize_weights_ovp_i8(w: jax.Array, grid: jax.Array,
     g16 = np.asarray(grid).reshape(-1)[:16]
     o16 = np.asarray(outliers).reshape(-1)[:16]
     u, exact = ovp_unit(g16, o16)
-    assert exact, "no exact OVP unit for this grid/outlier pair"
+    if not exact:
+        raise ValueError(
+            "no exact sign-offset OVP unit for this grid/outlier pair — "
+            "these weights cannot serve losslessly in 'w4'; use the "
+            "fake-quant path or adjust the codebooks")
     vmax = float(np.max(g16))          # reference scale: SIGNED max of
     scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1),  # normals
                               (w.shape[1],)) / vmax).astype(jnp.float32)

@@ -102,11 +102,17 @@ def _i8_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
             xc = xq[:, k0:k0 + sub]
             clip_c = jnp.clip(wc.astype(jnp.int32), -64, 64
                               ).astype(jnp.int8)
+            # per-sub-chunk int32 is safely bounded (16*256*127^2 <
+            # 2^27); the CROSS-chunk sum accumulates in f32 so
+            # adversarial all-outlier columns at K=16384 cannot wrap
             p = (16 * jax.lax.dot_general(
                      xc, wc, dims, preferred_element_type=jnp.int32)
                  - 15 * jax.lax.dot_general(
-                     xc, clip_c, dims, preferred_element_type=jnp.int32))
+                     xc, clip_c, dims, preferred_element_type=jnp.int32)
+                 ).astype(jnp.float32)
             part = p if part is None else part + p
+        part = part.astype(jnp.int32) if acc_ref.dtype == jnp.int32 \
+            else part
     else:
         part = jax.lax.dot_general(xq, w_ref[...], dims,
                                    preferred_element_type=jnp.int32)
@@ -404,7 +410,10 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
         # xp (M, K): low half feeds the low nibbles, high half the high
         args = (aqf, q16.astype(jnp.int32), xp, xp, w2d)
 
-    scratch = [pltpu.VMEM((Mp, bn), jnp.int32)]
+    # OVP mode accumulates f32 across K blocks (overflow headroom for
+    # adversarial all-outlier columns); plain int8 values stay int32
+    acc_dtype = jnp.float32 if (mode == "i8" and ovp) else jnp.int32
+    scratch = [pltpu.VMEM((Mp, bn), acc_dtype)]
     acc = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -415,7 +424,7 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), acc_dtype),
         interpret=interpret,
     )(l.reshape(1), *args)
     out_scale = jax.lax.dynamic_index_in_dim(

@@ -213,7 +213,10 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
     # outlier-free layers encode identically either way)
     site_ovp = {s: False for s in sites}
     site_act_ovp = {s: False for s in sites}
-    if cfg.weight_mode == "w4" and quant:
+    # note: the scan runs for EVERY weight mode — activation outliers
+    # must reach the OVP fake-quant path under w4pack/bf16 too (r4
+    # review: the w4-only gate silently dropped them)
+    if quant:
         for i in range(c.n_layers):
             q = quant.get(f"h_{i}")
             if q is None:
@@ -456,14 +459,18 @@ def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
             if "ovp" in site:
                 # OVP dual dot: 16*(x@c) - 15*(x@clip(c)) — exact
                 # reconstruction of the outlier-bearing weights from one
-                # int8 stream (qmatmul.py OVP section)
+                # int8 stream (qmatmul.py OVP section). Each int32 dot is
+                # bounded by K*127^2 < 2^31; the 16/-15 combine happens
+                # in f32 (16*dot would overflow int32 at K=16384).
                 from ..kernels.qmatmul import ovp_clip
-                acc = (16 * jax.lax.dot_general(
+                acc = (16.0 * jax.lax.dot_general(
                            xq, site["w_i8"], dims,
-                           preferred_element_type=jnp.int32)
-                       - 15 * jax.lax.dot_general(
+                           preferred_element_type=jnp.int32
+                       ).astype(jnp.float32)
+                       - 15.0 * jax.lax.dot_general(
                            xq, ovp_clip(site["w_i8"]), dims,
-                           preferred_element_type=jnp.int32))
+                           preferred_element_type=jnp.int32
+                       ).astype(jnp.float32))
             else:
                 acc = jax.lax.dot_general(
                     xq, site["w_i8"], dims,
@@ -489,7 +496,10 @@ def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
                         preferred_element_type=jnp.float32)
             y = y * site["oscale"][None, :]
         return y
-    if cfg.act_bits and "a_grid" in site:
+    if cfg.act_bits and "a_out" in site:        # OliVe act outliers
+        x2d = quantize_activation_ovp(x2d, site["a_grid"], site["a_out"],
+                                      site["a_alpha"])
+    elif cfg.act_bits and "a_grid" in site:
         x2d = quantize_activation(x2d, site["a_grid"], site["a_alpha"])
     if cfg.weight_mode == "w4pack":
         return quantized_matmul_w4(x2d.astype(jnp.float32), site["packed"],
@@ -663,7 +673,8 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
     site_names = (("qkv",) if c.fused_qkv else ("q", "k", "v")) + (
         "out", "fc_in", "fc_out")
     sp = (cfg.sp_prefill and cfg.tp_axis is not None and cfg.tp_size > 1
-          and stk is None and cfg.weight_mode == "w4" and cfg.act_bits
+          and stk is None and T > 1          # prefill only: decode keeps
+          and cfg.weight_mode == "w4" and cfg.act_bits   # the psum path
           and M % cfg.tp_size == 0 and M >= cfg.tp_size
           and all("a_q" in ep["layers"][s] and "w_i8" in ep["layers"][s]
                   and "ovp" not in ep["layers"][s]

@@ -282,13 +282,18 @@ def main():
         (per_layer, t0_fit), res, *_ = np.linalg.lstsq(
             A, np.asarray(times), rcond=None)
         ss_tot = float(np.var(times) * len(times))
-        r2 = 1.0 - float(res[0]) / ss_tot if len(res) and ss_tot else 1.0
+        if len(depths) > 2 and len(res) and ss_tot:
+            fit_note = f"R2={1.0 - float(res[0]) / ss_tot:.5f}"
+        else:
+            # 2 points determine the line exactly — an R2 would be a
+            # vacuous 1.0, not evidence of linearity
+            fit_note = "2-point fit (third depth unavailable)"
         t_full = t0_fit + per_layer * N_LAYERS
         tps_b = BATCH * DECODE_STEPS / t_full
         base_note = (f"bf16 {N_LAYERS}L linear-fit from "
                      f"{'/'.join(str(d) for d in depths)}L measurements "
                      f"(slope {per_layer / DECODE_STEPS * 1e3:.3f} "
-                     f"ms/step/layer, R2={r2:.5f})")
+                     f"ms/step/layer, {fit_note})")
     print(json.dumps({
         "metric": (f"decode tokens/s/chip, OPT-6.7B {N_LAYERS}L "
                    f"OliVe-style W4A4 + INT8 KV (bs={BATCH}, "

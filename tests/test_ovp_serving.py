@@ -52,9 +52,13 @@ def test_encode_decode_equals_fake_quant(mode):
     got = ovp_decode_values(w_enc).astype(jnp.float32) * oscale[None, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
-    # victims decode to exactly 0 and outliers survive past the normal max
-    q = np.asarray(ovp_decode_values(w_enc))
-    assert (np.abs(q) > 64).any() or True  # outliers present for this seed
+    # outliers must actually be exercised: decoded magnitudes past the
+    # normal grid's max prove outlier encodings survived the roundtrip
+    q = np.asarray(ovp_decode_values(w_enc)).astype(np.float64)
+    gmax = float(np.max(np.abs(np.asarray(grid))))
+    u = float(oscale[0] / (np.asarray(alpha)[0] / np.max(np.asarray(grid))))
+    assert (np.abs(q) * u > gmax + 1e-6).any(), \
+        "test data produced no outliers — increase the input scale"
 
 
 def test_decode_formula():
@@ -221,3 +225,19 @@ def test_engine_full_olive_stacked_decode_matches_unfused():
     np.testing.assert_allclose(np.asarray(l_stacked),
                                np.asarray(l_unfused),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_act_outliers_stored_for_all_weight_modes():
+    """r4 review: the act-outlier scan must not be gated on
+    weight_mode='w4' — bf16-weight serving with quantized activations
+    still needs the OVP fake-quant path."""
+    from ant_quantization_tpu.serve import engine as eng
+    cfg, model, ids, params, quant = _olive_model()
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", act_bits=4,
+                            kv_int8=False, max_seq=32, dtype=jnp.float32,
+                            interpret=True)
+    ep = eng.build_engine_params(ecfg, params, quant)
+    assert all("a_out" in ep["layers"][s]
+               for s in ("qkv", "out", "fc_in", "fc_out"))
+    got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+    assert np.isfinite(np.asarray(got)).all()
