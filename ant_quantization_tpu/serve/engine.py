@@ -14,16 +14,23 @@ Weight modes:
            HBM traffic than bf16 with zero per-element decode work, and —
            with activation quant on — an int8 x int8 MXU matmul. Numerics
            identical to "w4pack" / the fake-quant path (4-bit grids are
-           exactly int8-representable).
+           exactly int8-representable). OliVe OVP sites (abfloat outliers
+           beyond int8) automatically switch to the sign-offset encoding
+           + dual/quad-dot kernels (qmatmul.py OVP section) — still one
+           int8 stream, exactly the fake-quant values.
   "w4pack" 4-bit codes packed two-per-byte, decoded in-register by the
            fused Pallas matmul: 4x less HBM than bf16, but the 16-way
            select-tree decode is VPU-bound — use when HBM capacity, not
-           bandwidth, is the constraint.
+           bandwidth, is the constraint (no OVP support: outlier grids
+           exceed the 16-entry pack; raises with guidance).
   "bf16"   dense baseline (the vs_baseline reference for bench.py)
 
 Activation quantization (A4/A8) applies the calibrated per-tensor grids
 with a midpoint-threshold snap (pure VPU compares, no gathers); under
-"w4" the snap targets the int8-domain codebook so the matmul runs int8.
+"w4" the snap targets the int8-domain codebook so the matmul runs int8,
+and OliVe activation outliers run the full concat-snap + victim-zeroing
+in-kernel (kernels/stacked.py aovp mode) or the exact fake-quant
+fallback on the unfused paths.
 """
 
 from __future__ import annotations
