@@ -261,21 +261,31 @@ def main():
         # (VERDICT r3 #6: linearity as data, not assumption). The largest
         # depth is the biggest bf16 model that fits the HBM budget.
         half = max(BASE_LAYERS // 2, 1)
-        # third point: BASE*1.5 only (2*BASE passed the byte estimate at
-        # 24L but ResourceExhausted'd the real chip — the estimate misses
-        # runtime transients); a failed depth is dropped, >=2 must land
-        big = BASE_LAYERS + BASE_LAYERS // 2
-        cands = sorted({half, BASE_LAYERS} | (
-            {big} if bf16_bytes(big) <= HBM_BUDGET else set()))
         depths, times = [], []
-        for d in cands:
+        for d in sorted({half, BASE_LAYERS}):
+            times.append(BATCH * DECODE_STEPS / retry(
+                lambda d=d: bf16_tps(d)))
+            depths.append(d)
+        # third point for fit quality: deepest candidate that both passes
+        # the byte estimate AND survives on the real chip (24L passed the
+        # estimate but ResourceExhausted'd — runtime transients; 18L has
+        # also OOM'd after a long session, so fall back down the ladder)
+        for d in (BASE_LAYERS + BASE_LAYERS // 2,
+                  BASE_LAYERS + BASE_LAYERS // 3):
+            if d <= BASE_LAYERS or bf16_bytes(d) > HBM_BUDGET:
+                continue
             try:
                 times.append(BATCH * DECODE_STEPS / retry(
                     lambda d=d: bf16_tps(d), tries=2))
                 depths.append(d)
+                break
             except Exception as e3:
                 print(f"# .. bf16 {d}L failed ({type(e3).__name__}); "
-                      f"fitting without it", file=sys.stderr, flush=True)
+                      f"trying a shallower third depth",
+                      file=sys.stderr, flush=True)
+        order = np.argsort(depths)
+        depths = [depths[i] for i in order]
+        times = [times[i] for i in order]
         assert len(depths) >= 2, "need two baseline depths for the fit"
         A = np.stack([np.asarray(depths, np.float64),
                       np.ones(len(depths))], axis=1)
