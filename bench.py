@@ -187,6 +187,16 @@ def _bench(cfg: eng.EngineConfig, label: str) -> float:
 def main():
     from ant_quantization_tpu.utils.profiling import (maybe_trace,
                                                       profile_dir_from_env)
+    # standalone bf16-baseline measurement at one depth (debug surface;
+    # also how the 2x-weights HLO-temp finding above was isolated)
+    if os.environ.get("BENCH_BF16_ONLY"):
+        d = int(os.environ["BENCH_BF16_ONLY"])
+        bcfg = eng.EngineConfig(lm=_lm(d), weight_mode="bf16",
+                                act_bits=0, kv_int8=False, max_seq=MAX_SEQ)
+        tps = _bench(bcfg, f"bf16 baseline {d}L (subprocess)")
+        print(json.dumps({"bf16_only_layers": d,
+                          "tokens_per_s": round(tps, 2)}))
+        return
     qcfg = eng.EngineConfig(
         lm=LM, weight_mode="w4", act_bits=4, kv_int8=True, max_seq=MAX_SEQ,
         lm_head_int8=os.environ.get("BENCH_LM_HEAD_INT8", "1") == "1",
@@ -260,32 +270,25 @@ def main():
         # extrapolated to N_LAYERS; fit quality reported in the metric
         # (VERDICT r3 #6: linearity as data, not assumption). The largest
         # depth is the biggest bf16 model that fits the HBM budget.
+        # Three depths AT OR BELOW the base: the bf16 prefill program
+        # materializes a full copy of the scanned layer stacks as HLO
+        # temps (measured 6.93 GB at 18L — "Largest program allocations:
+        # convert(ep_layers_*_kernel)"), so bf16 needs ~2x weights and
+        # depths past ~12L genuinely do not fit a v5e chip regardless of
+        # allocator state. Three collinear points at 6/9/12 establish
+        # per-layer linearity within the measured range; the 32L
+        # extrapolation is labeled as such in the metric string.
         half = max(BASE_LAYERS // 2, 1)
+        mid = max((half + BASE_LAYERS) // 2, half + 1)
         depths, times = [], []
-        for d in sorted({half, BASE_LAYERS}):
-            times.append(BATCH * DECODE_STEPS / retry(
-                lambda d=d: bf16_tps(d)))
-            depths.append(d)
-        # third point for fit quality: deepest candidate that both passes
-        # the byte estimate AND survives on the real chip (24L passed the
-        # estimate but ResourceExhausted'd — runtime transients; 18L has
-        # also OOM'd after a long session, so fall back down the ladder)
-        for d in (BASE_LAYERS + BASE_LAYERS // 2,
-                  BASE_LAYERS + BASE_LAYERS // 3):
-            if d <= BASE_LAYERS or bf16_bytes(d) > HBM_BUDGET:
-                continue
+        for d in sorted({half, mid, BASE_LAYERS}):
             try:
                 times.append(BATCH * DECODE_STEPS / retry(
                     lambda d=d: bf16_tps(d), tries=2))
                 depths.append(d)
-                break
             except Exception as e3:
                 print(f"# .. bf16 {d}L failed ({type(e3).__name__}); "
-                      f"trying a shallower third depth",
-                      file=sys.stderr, flush=True)
-        order = np.argsort(depths)
-        depths = [depths[i] for i in order]
-        times = [times[i] for i in order]
+                      f"fitting without it", file=sys.stderr, flush=True)
         assert len(depths) >= 2, "need two baseline depths for the fit"
         A = np.stack([np.asarray(depths, np.float64),
                       np.ones(len(depths))], axis=1)
