@@ -35,7 +35,8 @@ from ..ops.snap import snap_codes
 __all__ = ["pack_w4", "quantized_matmul_w4", "dequant_w4_reference",
            "int8_codebook", "quantize_weights_w4_i8", "fused_w8a8_matmul",
            "ovp_unit", "quantize_weights_ovp_i8", "ovp_clip",
-           "ovp_decode_values", "OVP_OFFSET", "OVP_SHIFT"]
+           "ovp_encode_scalar", "ovp_decode_values", "OVP_OFFSET",
+           "OVP_SHIFT"]
 
 
 def pack_w4(codes: jax.Array) -> jax.Array:
@@ -421,16 +422,22 @@ def quantize_weights_ovp_i8(w: jax.Array, grid: jax.Array,
     # over the known codebook values (pack-time only)
     vals = np.unique(np.concatenate([g16, o16, [0.0]]))
     thr = float(np.max(np.abs(g16)))
-    def enc(v):
-        if abs(v) <= thr + 1e-9:
-            return int(round(v / u))
-        m = int(round((abs(v) / u - OVP_OFFSET) / OVP_SHIFT))
-        return int(np.sign(v)) * (OVP_OFFSET + m)
     w_enc = jnp.zeros(q.shape, jnp.int8)
     for v in vals:
         w_enc = jnp.where(jnp.abs(q - np.float32(v)) < 1e-5 * max(1, abs(v)),
-                          np.int8(enc(v)), w_enc)
+                          np.int8(ovp_encode_scalar(v, u, thr)), w_enc)
     return w_enc, scale * np.float32(u)
+
+
+def ovp_encode_scalar(v: float, u: float, normal_max: float) -> int:
+    """Sign-offset byte for ONE integer-domain value: normals at unit u,
+    outliers past +-OVP_OFFSET (see the module section above). The single
+    source of the encode formula — used by both the weight packer and the
+    engine's activation tables."""
+    if abs(v) <= normal_max + 1e-9:
+        return int(round(v / u))
+    m = int(round((abs(v) / u - OVP_OFFSET) / OVP_SHIFT))
+    return int(np.sign(v)) * (OVP_OFFSET + m)
 
 
 def ovp_clip(c):

@@ -45,9 +45,15 @@ import numpy as np
 from ..kernels.attention import int8_kv_attention, stacked_int8_kv_attention
 from ..kernels.kv_cache import (QuantKV, append_kv, append_kv_stacked,
                                 init_kv)
-from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook, pack_w4,
-                               quantized_matmul_w4, quantize_weights_ovp_i8,
+from ..kernels.qmatmul import (fused_w8a8_matmul, int8_codebook,
+                               ovp_clip, ovp_decode_values, ovp_unit,
+                               pack_w4, quantized_matmul_w4,
+                               quantize_weights_ovp_i8,
                                quantize_weights_w4_i8)
+from ..ops.ovp import apply_ovp
+from ..ops.snap import snap_concat
+from ..parallel.collective_matmul import (matmul_reducescatter_i8,
+                                          ring_allgather_matmul_i8)
 from ..kernels.stacked import stacked_quant_matmul, stacked_quant_matmul_aovp
 from ..models.transformer_lm import LMConfig, alibi_slopes
 from ..numerics import codebooks as cb
@@ -167,8 +173,6 @@ def quantize_activation_ovp(x: jax.Array, grid16: jax.Array,
     """OliVe activation fake-quant with outliers + victim zeroing (olive
     quant_modules.py:294-330): snap onto the unsorted grid||outlier
     concat, zero each outlier's pair neighbor along the feature axis."""
-    from ..ops.ovp import apply_ovp
-    from ..ops.snap import snap_concat
     scale = (alpha / jnp.max(grid16)).astype(jnp.float32)
     full = jnp.concatenate([grid16.astype(jnp.float32),
                             out16.astype(jnp.float32)])
@@ -183,7 +187,7 @@ def _aovp_encode_tables(a_grid: np.ndarray, a_out16: np.ndarray,
     (kernels/stacked.py:stacked_quant_matmul_aovp): sorted grid||outlier
     concat midpoints, unsorted-concat tie flags, and the sign-offset
     encoded byte of each sorted entry."""
-    from ..kernels.qmatmul import OVP_OFFSET, OVP_SHIFT
+    from ..kernels.qmatmul import ovp_encode_scalar
     av = np.concatenate([np.asarray(a_grid, np.float64),
                          np.asarray(a_out16, np.float64)])
     order = np.argsort(av, kind="stable")
@@ -191,14 +195,8 @@ def _aovp_encode_tables(a_grid: np.ndarray, a_out16: np.ndarray,
     ties = (order[1:] >= order[:-1]).astype(np.int32)
     mids = ((sg[1:] + sg[:-1]) * 0.5).astype(np.float32)
     thr = float(np.max(np.abs(np.asarray(a_grid))))
-
-    def enc(v):
-        if abs(v) <= thr + 1e-9:
-            return round(v / u_a)
-        m = round((abs(v) / u_a - OVP_OFFSET) / OVP_SHIFT)
-        return int(np.sign(v)) * (OVP_OFFSET + m)
-
-    encs = np.asarray([enc(v) for v in sg], np.float32)
+    encs = np.asarray([ovp_encode_scalar(v, u_a, thr) for v in sg],
+                      np.float32)
     return {"aovp_mids": jnp.asarray(mids),
             "aovp_ties": jnp.asarray(ties),
             "aovp_enc": jnp.asarray(encs),
@@ -304,7 +302,6 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
                     a_out16 = np.asarray(aq.outliers).reshape(-1)[:16]
                     entry.update(a_out=jnp.asarray(a_out16, jnp.float32))
                     if cfg.weight_mode == "w4":
-                        from ..kernels.qmatmul import ovp_unit
                         u_a, exact_a = ovp_unit(a_grid, a_out16)
                         if exact_a:
                             entry.update(_aovp_encode_tables(
@@ -469,7 +466,6 @@ def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
                 # int8 stream (qmatmul.py OVP section). Each int32 dot is
                 # bounded by K*127^2 < 2^31; the 16/-15 combine happens
                 # in f32 (16*dot would overflow int32 at K=16384).
-                from ..kernels.qmatmul import ovp_clip
                 acc = (16.0 * jax.lax.dot_general(
                            xq, site["w_i8"], dims,
                            preferred_element_type=jnp.int32
@@ -495,7 +491,6 @@ def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
             mm_dtype = jnp.float32 if cfg.dtype == jnp.float32 \
                 else jnp.bfloat16
             if "ovp" in site:
-                from ..kernels.qmatmul import ovp_decode_values
                 wv = ovp_decode_values(site["w_i8"]).astype(mm_dtype)
             else:
                 wv = site["w_i8"].astype(mm_dtype)
@@ -687,8 +682,6 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
                   and "ovp" not in ep["layers"][s]
                   for s in site_names))
     if sp:
-        from ..parallel.collective_matmul import (matmul_reducescatter_i8,
-                                                  ring_allgather_matmul_i8)
         tp_i = jax.lax.axis_index(cfg.tp_axis)
         M_loc = M // cfg.tp_size
 
