@@ -171,13 +171,13 @@ def _stacked_kernel(l_ref, pos_ref, slope_ref, q_ref, k_ref, v_ref,
         k = k_ref[h * S:(h + 1) * S, :].astype(jnp.float32)  # (S, D)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * ks_ref[h, :][None, :]
+        s = s * ks_ref[0, 0, h * S:(h + 1) * S][None, :]
         s = s + slope_ref[0, j * hb + h] * relf              # ALiBi (or 0)
         s = jnp.where(keep, s, _NEG_BIG)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = p * vs_ref[h, :][None, :]
+        pv = p * vs_ref[0, 0, h * S:(h + 1) * S][None, :]
         o = jax.lax.dot_general(pv, v_ref[h * S:(h + 1) * S, :]
                                 .astype(jnp.float32),
                                 (((1,), (0,)), ((), ())),
@@ -232,7 +232,17 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
     # global row start of head-chunk (l, b, j): (l·B·H + b·H + j·hb)·S;
     # hb | H, so in units of the (hb·S, D) block this is exact:
     kv_index = lambda b, j, l_ref: (((l_ref[0] * B + b) * H) // hb + j, 0)
-    sc_index = lambda b, j, l_ref: (((l_ref[0] * B + b) * H) // hb + j, 0)
+    sc_index = lambda b, j, l_ref: (((l_ref[0] * B + b) * H) // hb + j,
+                                    0, 0)
+    # scales ride as (G, 1, hb·S) rows with whole-row (1, 1, hb·S)
+    # blocks: the block's last two dims EQUAL the array's, which the TPU
+    # block rule always admits — a 2-D (hb, S) block requires hb % 8 == 0
+    # and would reject every geometry whose head chunk isn't a multiple
+    # of 8 (GPT-2's 12/16/20/25 heads, any small-model config)
+    G = n_layers * B * H // hb
+    assert S % 8 == 0, f"stacked int8 KV attention needs S % 8 == 0, S={S}"
+    ks3d = ks2d.astype(jnp.float32).reshape(G, 1, hb * S)
+    vs3d = vs2d.astype(jnp.float32).reshape(G, 1, hb * S)
 
     return pl.pallas_call(
         functools.partial(_stacked_kernel, hb=hb, S=S),
@@ -250,8 +260,10 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((hb * S, D), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((hb, S), sc_index, memory_space=pltpu.VMEM),
-                pl.BlockSpec((hb, S), sc_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hb * S), sc_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hb * S), sc_index,
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, hb, T, D),
                                    lambda b, j, *_: (b, j, 0, 0),
@@ -260,7 +272,7 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), out_dtype),
         interpret=interpret,
     )(jnp.asarray(l, jnp.int32).reshape(1), pos, slopes, qs,
-      k2d, v2d, ks2d.astype(jnp.float32), vs2d.astype(jnp.float32))
+      k2d, v2d, ks3d, vs3d)
 
 
 def attention_oracle(q, k_i8, v_i8, k_scale, v_scale, pos0, slopes=None):

@@ -77,7 +77,6 @@ class SpeculativeDecoder:
             last = sample(lt[:, -1:], scfg, key)
             return kv_t, kv_d, last
 
-        @jax.jit
         def step(tep, dep, kv_t, kv_d, last, pos):
             """One speculation round.
 
@@ -113,7 +112,6 @@ class SpeculativeDecoder:
             last2 = tgt[jnp.arange(B), m][:, None]
             return kv_t, kv_d, out, n_out, last2, pos + n_out
 
-        @jax.jit
         def sampled_step(tep, dep, kv_t, kv_d, last, pos, key):
             """One rejection-sampling speculation round (lossless sampled
             decoding). Same cache discipline as ``step``."""
@@ -169,9 +167,40 @@ class SpeculativeDecoder:
             n_out = m + 1
             return kv_t, kv_d, out, n_out, corr, pos + n_out
 
+        def rounds(tep, dep, kv_t, kv_d, last, pos, key, round0, n_rounds):
+            """``n_rounds`` speculation rounds inside ONE compiled
+            program (lax.scan over the round body). A host-driven round
+            loop pays one device-dispatch round trip per k-or-fewer
+            accepted tokens — on a remote backend that RTT (~26 ms here)
+            dwarfs the 12 ms verify step. Scanning the rounds in-graph
+            amortizes dispatch over ``n_rounds`` rounds; the emitted
+            stream is identical to single-round stepping (the scan body
+            IS the single-round step; sampled rounds fold the ABSOLUTE
+            round index ``round0 + i`` into the root key exactly like
+            the host loop's _next_key folds its round counter, so the
+            sampled stream is bit-identical to single-round stepping).
+
+            Returns (kv_t, kv_d, toks (R, B, k+1), n_out (R, B), last,
+            pos). Caller guarantees pos + n_rounds*(k+1) < max_seq."""
+            def body(carry, i):
+                kv_t, kv_d, last, pos = carry
+                if scfg.is_greedy:
+                    kv_t, kv_d, out, n, last, pos = step(
+                        tep, dep, kv_t, kv_d, last, pos)
+                else:
+                    kv_t, kv_d, out, n, last, pos = sampled_step(
+                        tep, dep, kv_t, kv_d, last, pos,
+                        jax.random.fold_in(key, i))
+                return (kv_t, kv_d, last, pos), (out, n)
+            (kv_t, kv_d, last, pos), (outs, ns) = jax.lax.scan(
+                body, (kv_t, kv_d, last, pos),
+                round0 + jnp.arange(n_rounds))
+            return kv_t, kv_d, outs, ns, last, pos
+
         self._prefill = prefill
-        self._step = step
-        self._sampled_step = sampled_step
+        self._step = jax.jit(step)
+        self._sampled_step = jax.jit(sampled_step)
+        self._rounds = jax.jit(rounds, static_argnums=8)
 
     def _next_key(self):
         key = jax.random.fold_in(self._root_key, self._round)
@@ -179,9 +208,16 @@ class SpeculativeDecoder:
         return key
 
     def generate(self, prompt_ids: np.ndarray, max_new_tokens: int,
-                 eos_id: Optional[int] = None) -> List[List[int]]:
-        """Greedy-decode ``max_new_tokens`` per sequence; returns the
-        emitted token lists (identical to target-only greedy decoding)."""
+                 eos_id: Optional[int] = None,
+                 rounds_per_dispatch: int = 8) -> List[List[int]]:
+        """Decode ``max_new_tokens`` per sequence; returns the emitted
+        token lists (identical to target-only decoding — exactly for
+        greedy, in distribution for sampling).
+
+        ``rounds_per_dispatch`` speculation rounds run inside one
+        compiled program per host dispatch (see ``rounds``); 1 recovers
+        the round-per-dispatch host loop. The emitted stream does not
+        depend on the chunking."""
         B, T = prompt_ids.shape
         kv_t = eng.init_cache(self.tcfg, B)
         kv_d = eng.init_cache(self.dcfg, B)
@@ -195,21 +231,31 @@ class SpeculativeDecoder:
         self.accepted_hist: List[int] = []
         while (any(len(o) < max_new_tokens for o in out)
                and int(np.asarray(pos).max()) + self.k + 1 < limit):
-            if self.sampling.is_greedy:
-                kv_t, kv_d, toks, n_out, last, pos = self._step(
-                    self.tep, self.dep, kv_t, kv_d, last, pos)
-            else:
-                kv_t, kv_d, toks, n_out, last, pos = self._sampled_step(
-                    self.tep, self.dep, kv_t, kv_d, last, pos,
-                    self._next_key())
-            toks, n = np.asarray(toks), np.asarray(n_out)
-            self.accepted_hist.append(int(n.sum() - len(n)))
-            for b in range(B):
-                if len(out[b]) >= max_new_tokens:
-                    continue
-                if eos_id is not None and eos_id in out[b]:
-                    continue
-                out[b].extend(int(t) for t in toks[b, :n[b]])
+            # rounds this dispatch: the full chunk, or single rounds for
+            # the tail / near the cache limit. ONLY these two variants —
+            # ``n_rounds`` is a static arg, so every distinct r is a
+            # separate compile; capping r by the remaining-token count
+            # was measured to recompile per tail length and cost more
+            # than it saved
+            pmax = int(np.asarray(pos).max())
+            need = max(max_new_tokens - len(o) for o in out)
+            fits = (limit - 1 - pmax) // (self.k + 1)
+            r = rounds_per_dispatch if (
+                need >= rounds_per_dispatch
+                and fits >= rounds_per_dispatch) else 1
+            kv_t, kv_d, toks, n_out, last, pos = self._rounds(
+                self.tep, self.dep, kv_t, kv_d, last, pos,
+                self._root_key, self._round, r)
+            self._round += r
+            toks, n = np.asarray(toks), np.asarray(n_out)   # (r,B,k+1),(r,B)
+            for j in range(r):
+                self.accepted_hist.append(int(n[j].sum() - B))
+                for b in range(B):
+                    if len(out[b]) >= max_new_tokens:
+                        continue
+                    if eos_id is not None and eos_id in out[b]:
+                        continue
+                    out[b].extend(int(t) for t in toks[j, b, :n[j, b]])
         for b in range(B):
             o = out[b][:max_new_tokens]
             if eos_id is not None and eos_id in o:

@@ -108,3 +108,24 @@ def test_speculative_eos_truncation():
         assert got[other][-1] == eos
     else:
         assert got[other] == list(want[other])
+
+
+def test_speculative_rounds_per_dispatch_invariant():
+    """The in-graph multi-round scan (SpeculativeDecoder.rounds) must
+    emit exactly the stream of round-per-dispatch stepping — greedy and
+    sampled (the scan folds the ABSOLUTE round index into the root key,
+    matching the host loop's _next_key counter)."""
+    from ant_quantization_tpu.serve.sampling import SamplingConfig
+    vocab = 64
+    tcfg, tep = _mk(vocab, n_layers=2, d_model=32, seed=0)
+    dcfg, dep = _mk(vocab, n_layers=1, d_model=16, seed=1)
+    prompt = np.random.default_rng(7).integers(0, vocab, (2, 5))
+    for scfg in (None, SamplingConfig(temperature=0.9, top_k=8)):
+        outs = []
+        for rpd in (1, 3):
+            spec = SpeculativeDecoder(tcfg, tep, dcfg, dep, k=3,
+                                      sampling=scfg, seed=11)
+            outs.append(spec.generate(prompt, 10,
+                                      rounds_per_dispatch=rpd))
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(outs[1]))

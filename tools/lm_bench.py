@@ -1,0 +1,219 @@
+"""Decode-throughput benchmark for any of the reference's LLM families.
+
+Generalizes bench.py (which pins the OPT-6.7B headline geometry) to the
+three decoder families the reference's OliVe CLM harness evaluates
+(olive_quantization/llm/scripts/run_all.sh: gpt2-xl, facebook/opt-6.7b,
+bigscience/bloom-7b1): randomized engine params at the EXACT model
+geometry — fused vs split qkv, ALiBi vs learned positions, embedding
+LayerNorm, true vocab size — served W4A4 + INT8 KV with the int8
+lm_head, measured on the real chip. Where the bf16 dense baseline fits
+the chip (gpt2-xl: ~3.2 GB) it is measured at full depth and a
+vs_bf16 ratio is reported.
+
+Usage:
+    python tools/lm_bench.py --family gpt2-xl [--batch 4 --prefill 512]
+    python tools/lm_bench.py --family bloom-7b1     # the PERF.md row
+    python tools/lm_bench.py --family opt-6.7b      # == bench.py config
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ant_quantization_tpu.models.transformer_lm import (bloom_config,
+                                                        gpt2_config,
+                                                        opt_config)
+from ant_quantization_tpu.numerics import codebooks as cb
+from ant_quantization_tpu.serve import engine as eng
+
+FAMILIES = {
+    "gpt2-xl": lambda: gpt2_config("xl"),
+    "gpt2-large": lambda: gpt2_config("large"),
+    "opt-6.7b": lambda: opt_config("6.7b"),
+    "opt-1.3b": lambda: opt_config("1.3b"),
+    "bloom-7b1": lambda: bloom_config("7b1"),
+    "bloom-3b": lambda: bloom_config("3b"),
+}
+
+
+def rand_engine_params(cfg: eng.EngineConfig, key):
+    """Random stacked engine params at cfg.lm's exact geometry, built
+    one site per jit with pinned row-major layouts (see bench.py's
+    _rand_engine_params for why: exotic jit-output layouts turn the
+    engine's free (L, K, N) -> (L*K, N) reshape into a multi-GB copy)."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+    dev = jax.devices()[0]
+
+    def pinned(fn, *args):
+        shapes = jax.eval_shape(fn, *args)
+        fmts = jax.tree_util.tree_map(
+            lambda s: Format(Layout(tuple(range(s.ndim))),
+                             SingleDeviceSharding(dev)), shapes)
+        return jax.jit(fn, out_shardings=fmts)(*args)
+
+    c = cfg.lm
+    if c.fused_qkv:
+        sites = {"qkv": (c.d_model, 3 * c.d_model)}
+    else:
+        sites = {s: (c.d_model, c.d_model) for s in ("q", "k", "v")}
+    sites.update(out=(c.d_model, c.d_model),
+                 fc_in=(c.d_model, c.d_ff), fc_out=(c.d_ff, c.d_model))
+    wgrid = cb.ant_grid("flint", 4, True)[:16]
+    agrid = cb.ant_grid("flint", 4, False)[:16]
+    from ant_quantization_tpu.kernels.qmatmul import int8_codebook
+    wq16, w_unit, _ = int8_codebook(wgrid)
+    aq16, a_unit, _ = int8_codebook(agrid)
+    a_vmax = float(np.max(agrid))
+    L = c.n_layers
+
+    keys = jax.random.split(key, len(sites) + 2)
+    layers = {}
+    for i, (name, (K, N)) in enumerate(sites.items()):
+        entry = {"bias": jnp.zeros((L, N), jnp.float32)}
+        if cfg.weight_mode == "w4":
+            entry["w_i8"] = pinned(
+                lambda k, K=K, N=N: jax.random.randint(
+                    k, (L, K, N), -64, 64, jnp.int8), keys[i])
+            entry["oscale"] = jnp.full((L, N), 2e-3 * w_unit, jnp.float32)
+        else:
+            entry["kernel"] = pinned(
+                lambda k, K=K, N=N: (
+                    jax.random.normal(k, (L, K, N), jnp.bfloat16)
+                    * np.float32(1.0 / np.sqrt(K))), keys[i])
+        if cfg.act_bits:
+            entry["a_grid"] = jnp.broadcast_to(jnp.asarray(agrid), (L, 16))
+            entry["a_alpha"] = jnp.full((L,), 3.0, jnp.float32)
+            if cfg.weight_mode == "w4":
+                entry["a_q"] = jnp.broadcast_to(jnp.asarray(aq16), (L, 16))
+                entry["a_scale"] = jnp.full(
+                    (L,), 3.0 / a_vmax * a_unit, jnp.float32)
+        layers[name] = entry
+    ln = lambda: {"scale": jnp.ones((L, c.d_model), jnp.float32),
+                  "bias": jnp.zeros((L, c.d_model), jnp.float32)}
+    layers["ln_1"], layers["ln_2"] = ln(), ln()
+    top = {"ln_f": {"scale": jnp.ones((c.d_model,), jnp.float32),
+                    "bias": jnp.zeros((c.d_model,), jnp.float32)}}
+    if c.positions in ("learned", "learned_offset2"):
+        top["wpe"] = pinned(lambda k: jax.random.normal(
+            k, (cfg.max_seq + 2, c.d_model), cfg.dtype) * 0.02, keys[-1])
+    if c.embed_ln:
+        top["embed_ln"] = {"scale": jnp.ones((c.d_model,), jnp.float32),
+                           "bias": jnp.zeros((c.d_model,), jnp.float32)}
+    if cfg.lm_head_int8:
+        top["wte_i8"] = pinned(lambda k: jax.random.randint(
+            k, (c.vocab_size, c.d_model), -127, 128, jnp.int8), keys[-2])
+        top["wte_scale"] = jnp.full((c.vocab_size,), 0.02 / 127.0,
+                                    jnp.float32)
+    else:
+        top["wte"] = pinned(lambda k: jax.random.normal(
+            k, (c.vocab_size, c.d_model), cfg.dtype) * 0.02, keys[-2])
+    return {"layers": layers, "top": top}
+
+
+def _sync(x):
+    return np.asarray(x)     # remote-backend fence (see bench.py:_sync)
+
+
+def bench_decode(cfg: eng.EngineConfig, batch, prefill, decode_steps,
+                 label) -> float:
+    print(f"# {label}: building params", file=sys.stderr, flush=True)
+    ep = rand_engine_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prefill), 0,
+                             cfg.lm.vocab_size)
+    kv = eng.init_cache(cfg, batch)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def prefill_fn(ep, ids, kv):
+        return eng.forward(cfg, ep, ids, kv, 0)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_n(ep, tok, kv):
+        def step(carry, i):
+            tok, kv = carry
+            logits, kv = eng.forward(cfg, ep, tok, kv, prefill + i)
+            tok = jnp.argmax(logits[:, -1:], axis=-1)
+            return (tok, kv), ()
+        (tok, kv), _ = jax.lax.scan(step, (tok, kv),
+                                    jnp.arange(decode_steps))
+        return tok, kv
+
+    logits, kv = prefill_fn(ep, ids, kv)
+    tok = jnp.argmax(logits[:, -1:], axis=-1)
+    tok, kv = decode_n(ep, tok, kv)
+    _sync(tok)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        tok, kv = decode_n(ep, tok, kv)
+    _sync(tok)
+    dt = (time.perf_counter() - t0) / reps
+    tps = batch * decode_steps / dt
+    print(f"# {label}: {dt / decode_steps * 1e3:.2f} ms/step, "
+          f"{tps:.0f} tokens/s", file=sys.stderr, flush=True)
+    return tps
+
+
+def bf16_bytes(c, batch, max_seq):
+    qkv = 3 * c.d_model ** 2
+    per_layer = (qkv + c.d_model ** 2 + 2 * c.d_model * c.d_ff) * 2
+    cache = c.n_layers * batch * c.n_heads * max_seq * c.head_dim * 2 * 2
+    # bf16 prefill materializes an HLO-temp copy of the scanned weight
+    # stacks (PERF.md: measured 6.93 GB at 18L OPT) -> 2x the weights
+    return (2 * c.n_layers * per_layer + c.vocab_size * c.d_model * 2
+            + cache + 2 * 10 ** 9)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=sorted(FAMILIES), required=True)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--prefill", type=int, default=512)
+    ap.add_argument("--decode", type=int, default=64)
+    ap.add_argument("--no-baseline", action="store_true")
+    args = ap.parse_args(argv)
+
+    lm = FAMILIES[args.family]()
+    max_seq = args.prefill + args.decode + 32
+    lm = type(lm)(**{**lm.__dict__, "max_seq": max_seq})
+    qcfg = eng.EngineConfig(lm=lm, weight_mode="w4", act_bits=4,
+                            kv_int8=True, max_seq=max_seq,
+                            lm_head_int8=True)
+    tps_q = bench_decode(qcfg, args.batch, args.prefill, args.decode,
+                         f"{args.family} W4A4+int8KV {lm.n_layers}L")
+    out = {"family": args.family, "n_layers": lm.n_layers,
+           "d_model": lm.d_model, "vocab": lm.vocab_size,
+           "batch": args.batch, "prefill": args.prefill,
+           "tokens_per_s": round(tps_q, 1),
+           "ms_per_step": round(args.batch / tps_q * 1e3, 2)}
+
+    need = bf16_bytes(lm, args.batch, max_seq)
+    budget = float(os.environ.get("BENCH_HBM_BUDGET", 15e9))
+    if not args.no_baseline and need <= budget:
+        import gc
+        gc.collect()
+        bcfg = eng.EngineConfig(lm=lm, weight_mode="bf16", act_bits=0,
+                                kv_int8=False, max_seq=max_seq)
+        tps_b = bench_decode(bcfg, args.batch, args.prefill, args.decode,
+                             f"{args.family} bf16 {lm.n_layers}L")
+        out["bf16_tokens_per_s"] = round(tps_b, 1)
+        out["vs_bf16"] = round(tps_q / tps_b, 2)
+    elif not args.no_baseline:
+        out["bf16_note"] = (f"bf16 needs ~{need / 1e9:.1f} GB > "
+                            f"{budget / 1e9:.0f} GB budget; not attempted")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

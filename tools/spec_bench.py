@@ -93,14 +93,25 @@ def main(argv=None):
     t_verify = step_time(tcfg, tep, args.k + 1)
     t_draft = step_time(dcfg, dep, 1)
 
-    # end-to-end generate (random draft: accept ~ 0, worst case)
-    sd = SpeculativeDecoder(tcfg, tep, dcfg, dep, k=args.k)
-    sd.generate(np.asarray(ids[:, :8]), 2)          # compile warm
-    t0 = time.perf_counter()
-    out = sd.generate(np.asarray(ids), args.rounds)
-    dt = time.perf_counter() - t0
-    n_tok = sum(len(o) for o in out)
-    acc = (np.mean(sd.accepted_hist) / args.k) if sd.accepted_hist else 0.0
+    # end-to-end generate (random draft: accept ~ 0, worst case), at
+    # round-per-dispatch (pays the host/dispatch RTT every round) and
+    # with the in-graph multi-round scan (8 rounds per dispatch)
+    e2e = {}
+    for rpd in (1, 8):
+        sd = SpeculativeDecoder(tcfg, tep, dcfg, dep, k=args.k)
+        # warm must emit enough tokens to compile BOTH round variants
+        # (the rpd-round chunk needs `need >= rpd` to trigger)
+        sd.generate(np.asarray(ids[:, :8]), rpd + 2,
+                    rounds_per_dispatch=rpd)        # compile warm
+        t0 = time.perf_counter()
+        out = sd.generate(np.asarray(ids), args.rounds,
+                          rounds_per_dispatch=rpd)
+        dt = time.perf_counter() - t0
+        n_tok = sum(len(o) for o in out)
+        e2e[rpd] = (n_tok / dt,
+                    (np.mean(sd.accepted_hist) / args.k)
+                    if sd.accepted_hist else 0.0)
+    (r1_tok_s, acc), (r8_tok_s, _) = e2e[1], e2e[8]
 
     k = args.k
     round_cost = k * t_draft + t_verify
@@ -116,9 +127,12 @@ def main(argv=None):
         "modeled_spec_tok_s": model,
         "break_even_accept": round(break_even, 3),
         "e2e_random_draft": {
-            "tok_s": round(n_tok / dt, 1),
+            "tok_s_dispatch_per_round": round(r1_tok_s, 1),
+            "tok_s_8_rounds_per_dispatch": round(r8_tok_s, 1),
             "accept_rate": round(float(acc), 3),
-            "note": "host-driven loop pays remote dispatch RTT/round"},
+            "note": "random draft: accept ~0 (worst case); per-round "
+                    "dispatch pays the remote RTT, the in-graph "
+                    "multi-round scan amortizes it"},
         "k": k, "layers": args.layers,
         "draft_layers": args.draft_layers}))
 
