@@ -153,9 +153,9 @@ def int8_kv_attention(q: jax.Array, k_i8: jax.Array, v_i8: jax.Array,
 
 def _stacked_kernel(l_ref, pos_ref, slope_ref, q_ref, k_ref, v_ref,
                     ks_ref, vs_ref, o_ref, *, hb: int, S: int):
-    """Same math as _kernel, but K/V arrive as (hb*S, D) row blocks cut
-    from the flattened (L*B*H*S, D) cache by the layer-aware index_map —
-    the kernel itself never sees the layer dimension."""
+    """Same math as _kernel, but K/V arrive as (1, 1, hb, S, D) blocks
+    cut from the NATIVE stacked (L, B, H, S, D) cache by the layer-aware
+    index_map — the kernel itself never sees the layer dimension."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     T = q_ref.shape[2]
@@ -168,31 +168,28 @@ def _stacked_kernel(l_ref, pos_ref, slope_ref, q_ref, k_ref, v_ref,
 
     for h in range(hb):                                      # static unroll
         q = q_ref[0, h].astype(jnp.float32)                  # (T, D)
-        k = k_ref[h * S:(h + 1) * S, :].astype(jnp.float32)  # (S, D)
+        k = k_ref[0, 0, h].astype(jnp.float32)               # (S, D)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * ks_ref[0, 0, h * S:(h + 1) * S][None, :]
+        s = s * ks_ref[0, 0, h, 0, :][None, :]
         s = s + slope_ref[0, j * hb + h] * relf              # ALiBi (or 0)
         s = jnp.where(keep, s, _NEG_BIG)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = p * vs_ref[0, 0, h * S:(h + 1) * S][None, :]
-        o = jax.lax.dot_general(pv, v_ref[h * S:(h + 1) * S, :]
-                                .astype(jnp.float32),
+        pv = p * vs_ref[0, 0, h, 0, :][None, :]
+        o = jax.lax.dot_general(pv, v_ref[0, 0, h].astype(jnp.float32),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o_ref[0, h] = (o / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_layers", "n_heads",
-                                             "out_dtype", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
-                              k2d: jax.Array, v2d: jax.Array,
-                              ks2d: jax.Array, vs2d: jax.Array,
+                              k: jax.Array, v: jax.Array,
+                              k_scale: jax.Array, v_scale: jax.Array,
                               pos0: jax.Array,
                               slopes: Optional[jax.Array] = None, *,
-                              n_layers: int, n_heads: int,
                               out_dtype=jnp.bfloat16,
                               interpret: bool = False) -> jax.Array:
     """Layer-indexed variant of :func:`int8_kv_attention` for the
@@ -201,24 +198,30 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
     Scanning *over* the stacked (L, B, H, S, D) cache costs two ~full-
     layer copies per layer (xs dynamic-slice out + ys update-slice back
     — measured ~3.8 ms/step of a 15.3 ms OPT-6.7B decode step, r4
-    profile). Instead the cache stays in the scan **carry**, flattened to
-    2-D (the known-good int8 Pallas layout, kernels/stacked.py), and the
+    profile). Instead the cache stays in the scan **carry** and the
     layer index ``l`` arrives by scalar prefetch consumed by the
     BlockSpec index_map — each grid step DMAs layer l's (hb, S, D) tiles
     straight from HBM, no per-layer slice ever materializes.
 
-    l:          () int32 layer index
-    q:          (B, H, T, D) float queries
-    k2d, v2d:   (L*B*H*S, D) int8 — the stacked cache, row-flattened
-    ks2d, vs2d: (L*B*H, S) f32 per-position dequant scales
-    pos0:       (B,) int32 first query position per sequence
-    slopes:     optional (H,) f32 ALiBi slopes
-    returns     (B, H, T, D) out_dtype
+    The cache is consumed in its NATIVE 5-D layout with (1, 1, hb, S, D)
+    blocks — the block's last two dims equal the array's, which the TPU
+    block rule always admits. An earlier revision flattened K/V to
+    (L·B·H·S, D): for D < 128 (GPT-2/BERT head_dim 64) that reshape is
+    not layout-preserving (int8 lanes pad D to 128), so XLA repacked the
+    ENTIRE cache every decode step — measured 3.8 ms/step of relayout at
+    GPT2-XL geometry, more than the attention itself.
+
+    l:                () int32 layer index
+    q:                (B, H, T, D) float queries
+    k, v:             (L, B, H, S, D) int8 — the stacked cache
+    k_scale, v_scale: (L, B, H, S) f32 per-position dequant scales
+    pos0:             (B,) int32 first query position per sequence
+    slopes:           optional (H,) f32 ALiBi slopes
+    returns           (B, H, T, D) out_dtype
     """
     B, H, T, D = q.shape
-    assert H == n_heads
-    S = k2d.shape[0] // (n_layers * B * H)
-    assert k2d.shape[0] == n_layers * B * H * S
+    L, _, _, S, _ = k.shape
+    assert k.shape == (L, B, H, S, D), (k.shape, q.shape)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True   # compiled Pallas is TPU-only; CPU = tests
     hb = _head_chunk(H, S, D, T)
@@ -229,20 +232,13 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
         slopes = jnp.zeros((H,), jnp.float32)
     slopes = slopes.astype(jnp.float32).reshape(1, H)
 
-    # global row start of head-chunk (l, b, j): (l·B·H + b·H + j·hb)·S;
-    # hb | H, so in units of the (hb·S, D) block this is exact:
-    kv_index = lambda b, j, l_ref: (((l_ref[0] * B + b) * H) // hb + j, 0)
-    sc_index = lambda b, j, l_ref: (((l_ref[0] * B + b) * H) // hb + j,
-                                    0, 0)
-    # scales ride as (G, 1, hb·S) rows with whole-row (1, 1, hb·S)
-    # blocks: the block's last two dims EQUAL the array's, which the TPU
-    # block rule always admits — a 2-D (hb, S) block requires hb % 8 == 0
-    # and would reject every geometry whose head chunk isn't a multiple
-    # of 8 (GPT-2's 12/16/20/25 heads, any small-model config)
-    G = n_layers * B * H // hb
-    assert S % 8 == 0, f"stacked int8 KV attention needs S % 8 == 0, S={S}"
-    ks3d = ks2d.astype(jnp.float32).reshape(G, 1, hb * S)
-    vs3d = vs2d.astype(jnp.float32).reshape(G, 1, hb * S)
+    kv_index = lambda b, j, l_ref: (l_ref[0], b, j, 0, 0)
+    # scales ride with an inserted singleton, (L, B, H, 1, S) with
+    # (1, 1, hb, 1, S) blocks: the last two dims equal the array's, so
+    # the block rule admits ANY head chunk (a 2-D (hb, S) block would
+    # require hb % 8 == 0, rejecting GPT-2's 12/16/20/25-head geometries)
+    ks5d = k_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
+    vs5d = v_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
 
     return pl.pallas_call(
         functools.partial(_stacked_kernel, hb=hb, S=S),
@@ -256,13 +252,13 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, hb, T, D), lambda b, j, *_: (b, j, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((hb * S, D), kv_index,
+                pl.BlockSpec((1, 1, hb, S, D), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((hb * S, D), kv_index,
+                pl.BlockSpec((1, 1, hb, S, D), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hb * S), sc_index,
+                pl.BlockSpec((1, 1, hb, 1, S), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hb * S), sc_index,
+                pl.BlockSpec((1, 1, hb, 1, S), kv_index,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, hb, T, D),
@@ -272,7 +268,7 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), out_dtype),
         interpret=interpret,
     )(jnp.asarray(l, jnp.int32).reshape(1), pos, slopes, qs,
-      k2d, v2d, ks3d, vs3d)
+      k, v, ks5d, vs5d)
 
 
 def attention_oracle(q, k_i8, v_i8, k_scale, v_scale, pos0, slopes=None):

@@ -579,13 +579,12 @@ def _attention_stacked(cfg: EngineConfig, q, kv: QuantKV, l, pos0, T,
     qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
     L, B, H, S, D = kv.k.shape
     if cfg.kv_int8 and T <= 16:
+        # the cache rides in its NATIVE 5-D layout — flattening to 2-D
+        # is only layout-free for D = 128 (int8 lanes); at head_dim 64
+        # (GPT-2) it repacked the whole cache every step
         out = stacked_int8_kv_attention(
-            l, qh, kv.k.reshape(L * B * H * S, D),
-            kv.v.reshape(L * B * H * S, D),
-            kv.k_scale.reshape(L * B * H, S),
-            kv.v_scale.reshape(L * B * H, S),
-            pos0, alibi, n_layers=L, n_heads=H, out_dtype=cfg.dtype,
-            interpret=cfg.interpret)
+            l, qh, kv.k, kv.v, kv.k_scale, kv.v_scale,
+            pos0, alibi, out_dtype=cfg.dtype, interpret=cfg.interpret)
         return jnp.transpose(out, (0, 2, 1, 3))
     kv_l = QuantKV(*(jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False)
                      for a in kv))

@@ -131,8 +131,34 @@ class ContinuousBatcher:
             nxt = sample(logits[:, -1], scfg, key)
             return kv, nxt
 
+        root_key = self._root_key
+
+        @partial(jax.jit, static_argnums=(5,), donate_argnums=(1,))
+        def decode_chunk(ep, kv, tokens_Bx1, lengths_B, tick0, n_ticks):
+            """``n_ticks`` decode ticks in ONE compiled program (lax.scan
+            over the tick body) — the dispatch-amortization companion to
+            SpeculativeDecoder.rounds. Slots that finish mid-chunk keep
+            decoding garbage until the chunk ends (the host discards
+            those tokens and refills the slot at the chunk boundary);
+            their cache rows are clamped to the last row, which only the
+            free slot itself could read. Sampling folds the ABSOLUTE
+            tick index into the root key, matching the per-tick path's
+            _next_key counter."""
+            def body(carry, i):
+                kv, tok, lens = carry
+                logits, kv = fwd(ep, tok, kv,
+                                 jnp.minimum(lens, cfg.max_seq - 1))
+                nxt = sample(logits[:, -1], scfg,
+                             jax.random.fold_in(root_key, tick0 + i))
+                return (kv, nxt.reshape(-1, 1).astype(jnp.int32),
+                        lens + 1), nxt
+            (kv, tok, _), toks = jax.lax.scan(
+                body, (kv, tokens_Bx1, lengths_B), jnp.arange(n_ticks))
+            return kv, toks                                # (n_ticks, B)
+
         self._prefill = prefill_slot
         self._decode = decode_all
+        self._decode_chunk = decode_chunk
 
     # ---- public API ----------------------------------------------------
 
@@ -158,7 +184,59 @@ class ContinuousBatcher:
                                     jnp.asarray(self.last_token),
                                     jnp.asarray(self.lengths),
                                     self._next_key())
-        nxt = np.asarray(nxt)
+        self._apply_tick(np.asarray(nxt))
+        self._fill_free_slots()
+        out, self.done = self.done, []
+        return out
+
+    def step_chunk(self, n_ticks: int) -> List[Completion]:
+        """``n_ticks`` decode ticks in one dispatch (see decode_chunk).
+        Tradeoff vs per-tick stepping: slots finishing mid-chunk are only
+        refilled at the chunk boundary (up to n_ticks-1 wasted slot-
+        ticks), in exchange for one host/device round trip per chunk —
+        the right trade whenever dispatch latency is comparable to a
+        decode step (remote backends; short models). Greedy completions
+        are identical to per-tick stepping; sampled completions use the
+        same absolute-tick keys but refill timing can shift which key a
+        newly admitted request's ticks land on (inherent to continuous-
+        batching schedules)."""
+        self._fill_free_slots()
+        if self.n_active == 0 or n_ticks <= 1:
+            return self.step()
+        self.kv, toks = self._decode_chunk(
+            self.ep, self.kv, jnp.asarray(self.last_token),
+            jnp.asarray(self.lengths), np.int32(self._tick),
+            int(n_ticks))
+        self._tick += n_ticks
+        toks = np.asarray(toks)                        # (n_ticks, B)
+        for j in range(n_ticks):
+            self._apply_tick(toks[j])
+        self._fill_free_slots()
+        out, self.done = self.done, []
+        return out
+
+    def run(self, max_steps: int = 10_000,
+            ticks_per_dispatch: int = 1) -> List[Completion]:
+        """Drain queue + active slots to completion. ``max_steps`` counts
+        dispatches (each of ``ticks_per_dispatch`` decode ticks)."""
+        finished: List[Completion] = []
+        for _ in range(max_steps):
+            finished.extend(self.step_chunk(ticks_per_dispatch)
+                            if ticks_per_dispatch > 1 else self.step())
+            if self.n_active == 0 and not self.queue:
+                break
+        return finished
+
+    # ---- internals ------------------------------------------------------
+
+    def _next_key(self):
+        key = jax.random.fold_in(self._root_key, self._tick)
+        self._tick += 1
+        return key
+
+    def _apply_tick(self, nxt: np.ndarray) -> None:
+        """Fold one tick's sampled tokens (B,) into the slot state; slots
+        without an active request ignore their (garbage) token."""
         for b in range(self.B):
             req = self.slot_req[b]
             if req is None:
@@ -177,25 +255,6 @@ class ContinuousBatcher:
                     finish_reason="eos" if hit_eos else "length"))
                 self.slot_req[b] = None
                 self.slot_tokens[b] = []
-        self._fill_free_slots()
-        out, self.done = self.done, []
-        return out
-
-    def run(self, max_steps: int = 10_000) -> List[Completion]:
-        """Drain queue + active slots to completion."""
-        finished: List[Completion] = []
-        for _ in range(max_steps):
-            finished.extend(self.step())
-            if self.n_active == 0 and not self.queue:
-                break
-        return finished
-
-    # ---- internals ------------------------------------------------------
-
-    def _next_key(self):
-        key = jax.random.fold_in(self._root_key, self._tick)
-        self._tick += 1
-        return key
 
     def _fill_free_slots(self):
         for b in range(self.B):

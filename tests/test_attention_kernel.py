@@ -115,10 +115,8 @@ def test_stacked_kernel_matches_oracle(l, T, pos0):
     q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
     p = jnp.full((B,), pos0, jnp.int32)
     got = stacked_int8_kv_attention(
-        jnp.asarray(l, jnp.int32), q,
-        k.reshape(L * B * H * S, D), v.reshape(L * B * H * S, D),
-        ks.reshape(L * B * H, S), vs.reshape(L * B * H, S), p,
-        n_layers=L, n_heads=H, out_dtype=jnp.float32, interpret=True)
+        jnp.asarray(l, jnp.int32), q, k, v, ks, vs, p,
+        out_dtype=jnp.float32, interpret=True)
     want = attention_oracle(q, k[l], v[l], ks[l], vs[l], p)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)

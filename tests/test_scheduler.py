@@ -114,3 +114,36 @@ def test_int8_cache_path_runs(setup):
     cb.submit(Request(prompt=[1, 2, 3], max_new_tokens=4))
     done = cb.run()
     assert len(done) == 1 and len(done[0].tokens) == 4
+
+
+def test_chunked_ticks_match_per_tick(setup):
+    """step_chunk / run(ticks_per_dispatch=N) must complete every request
+    with the same greedy tokens as per-tick stepping, across mid-chunk
+    completions, slot refills, and an eos stop."""
+    cfg, ep = setup
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 64, n).tolist() for n in (5, 11, 3, 9, 7, 4)]
+    lens = [6, 3, 9, 5, 7, 2]
+
+    def run(tpd):
+        cb = ContinuousBatcher(cfg, ep, batch_slots=2,
+                               prefill_buckets=(8, 16), pad_id=0)
+        ids = [cb.submit(Request(prompt=p, max_new_tokens=n))
+               for p, n in zip(prompts, lens)]
+        done = cb.run(ticks_per_dispatch=tpd)
+        return ids, {c.id: c.tokens for c in done}
+
+    ids1, per_tick = run(1)
+    ids4, chunked = run(4)
+    assert ids1 == ids4 and set(per_tick) == set(chunked)
+    for rid in ids1:
+        assert per_tick[rid] == chunked[rid], rid
+
+    # eos mid-stream still truncates identically
+    ref = _reference_generate(cfg, ep, prompts[0], 8)
+    eos = ref[3]
+    cb = ContinuousBatcher(cfg, ep, batch_slots=1, prefill_buckets=(8,))
+    cb.submit(Request(prompt=prompts[0], max_new_tokens=8, eos_id=eos))
+    done = cb.run(ticks_per_dispatch=4)
+    assert done[0].finish_reason == "eos"
+    assert done[0].tokens == ref[:ref.index(eos) + 1]
