@@ -152,35 +152,50 @@ def int8_kv_attention(q: jax.Array, k_i8: jax.Array, v_i8: jax.Array,
 
 
 def _stacked_kernel(l_ref, pos_ref, slope_ref, q_ref, k_ref, v_ref,
-                    ks_ref, vs_ref, o_ref, *, hb: int, S: int):
-    """Same math as _kernel, but K/V arrive as (1, 1, hb, S, D) blocks
-    cut from the NATIVE stacked (L, B, H, S, D) cache by the layer-aware
-    index_map — the kernel itself never sees the layer dimension."""
+                    ks_ref, vs_ref, o_ref, *, hb: int, S2: int, f: int,
+                    D: int):
+    """Same math as _kernel, but K/V arrive as (1, 1, hb, S/f, f·D)
+    blocks cut from the NATIVE stacked lane-folded cache
+    (kernels/kv_cache.py) by the layer-aware index_map — the kernel
+    never sees the layer dimension. The ``f`` position-planes of a row
+    are lane groups ``[r·D, (r+1)·D)`` holding positions ``f·s + r``;
+    each plane gets its own score matrix/mask and the softmax combines
+    the planes (shared running max + sum), so the math is identical to
+    the flat layout. Scales arrive plane-major, (1, 1, hb, f, S/f)."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     T = q_ref.shape[2]
     pos0 = pos_ref[b, 0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
-    rel = col - row - pos0                                   # k_pos - q_pos
-    relf = rel.astype(jnp.float32)
-    keep = rel <= 0
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, S2), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, S2), 0)
 
     for h in range(hb):                                      # static unroll
         q = q_ref[0, h].astype(jnp.float32)                  # (T, D)
-        k = k_ref[0, 0, h].astype(jnp.float32)               # (S, D)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * ks_ref[0, 0, h, 0, :][None, :]
-        s = s + slope_ref[0, j * hb + h] * relf              # ALiBi (or 0)
-        s = jnp.where(keep, s, _NEG_BIG)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = p * vs_ref[0, 0, h, 0, :][None, :]
-        o = jax.lax.dot_general(pv, v_ref[0, 0, h].astype(jnp.float32),
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        kp = k_ref[0, 0, h]                                  # (S2, f*D)
+        vp = v_ref[0, 0, h]
+        slope = slope_ref[0, j * hb + h]
+        planes = []
+        for r in range(f):                                   # static unroll
+            k = kp[:, r * D:(r + 1) * D].astype(jnp.float32)  # (S2, D)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * ks_ref[0, 0, h, r, :][None, :]
+            rel = f * col + r - row - pos0                   # k_pos - q_pos
+            s = s + slope * rel.astype(jnp.float32)          # ALiBi (or 0)
+            planes.append(jnp.where(rel <= 0, s, _NEG_BIG))
+        m = planes[0].max(axis=-1, keepdims=True)
+        for s in planes[1:]:
+            m = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        l = jnp.zeros_like(m)
+        o = jnp.zeros((T, D), jnp.float32)
+        for r, s in enumerate(planes):
+            p = jnp.exp(s - m)
+            l = l + jnp.sum(p, axis=-1, keepdims=True)
+            pv = p * vs_ref[0, 0, h, r, :][None, :]
+            o = o + jax.lax.dot_general(
+                pv, vp[:, r * D:(r + 1) * D].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         o_ref[0, h] = (o / l).astype(o_ref.dtype)
 
 
@@ -213,15 +228,20 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
 
     l:                () int32 layer index
     q:                (B, H, T, D) float queries
-    k, v:             (L, B, H, S, D) int8 — the stacked cache
-    k_scale, v_scale: (L, B, H, S) f32 per-position dequant scales
+    k, v:             (L, B, H, S/f, f·D) int8 — the stacked cache in the
+                      lane-folded layout of kernels/kv_cache.py (f = 1
+                      for head_dim >= 128)
+    k_scale, v_scale: (L, B, H, S) f32 per-position dequant scales —
+                      plane-major (L, B, H, f, S/f) when folded
     pos0:             (B,) int32 first query position per sequence
     slopes:           optional (H,) f32 ALiBi slopes
     returns           (B, H, T, D) out_dtype
     """
     B, H, T, D = q.shape
-    L, _, _, S, _ = k.shape
-    assert k.shape == (L, B, H, S, D), (k.shape, q.shape)
+    L, _, _, S2, Df = k.shape
+    f = Df // D
+    S = S2 * f
+    assert Df == f * D, (k.shape, q.shape)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True   # compiled Pallas is TPU-only; CPU = tests
     hb = _head_chunk(H, S, D, T)
@@ -233,15 +253,24 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
     slopes = slopes.astype(jnp.float32).reshape(1, H)
 
     kv_index = lambda b, j, l_ref: (l_ref[0], b, j, 0, 0)
-    # scales ride with an inserted singleton, (L, B, H, 1, S) with
-    # (1, 1, hb, 1, S) blocks: the last two dims equal the array's, so
-    # the block rule admits ANY head chunk (a 2-D (hb, S) block would
-    # require hb % 8 == 0, rejecting GPT-2's 12/16/20/25-head geometries)
-    ks5d = k_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
-    vs5d = v_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
+    # scales ride plane-major, (L, B, H, f, S/f) with (1, 1, hb, f, S/f)
+    # blocks: the last two dims equal the array's, so the block rule
+    # admits ANY head chunk (a 2-D (hb, S) block would require
+    # hb % 8 == 0, rejecting GPT-2's 12/16/20/25-head geometries).
+    # Folded caches STORE scales plane-major (kernels/kv_cache.py) —
+    # transposing (L, B, H, S) here instead would stream the full scale
+    # arrays once per layer (measured +2.6 ms/step at GPT2-XL, 48L)
+    if f > 1:
+        assert k_scale.shape == (L, B, H, f, S2), k_scale.shape
+        ks5d = k_scale.astype(jnp.float32)
+        vs5d = v_scale.astype(jnp.float32)
+    else:
+        assert k_scale.shape == (L, B, H, S), k_scale.shape
+        ks5d = k_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
+        vs5d = v_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
 
     return pl.pallas_call(
-        functools.partial(_stacked_kernel, hb=hb, S=S),
+        functools.partial(_stacked_kernel, hb=hb, S2=S2, f=f, D=D),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, H // hb),
@@ -252,13 +281,13 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, hb, T, D), lambda b, j, *_: (b, j, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hb, S, D), kv_index,
+                pl.BlockSpec((1, 1, hb, S2, Df), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hb, S, D), kv_index,
+                pl.BlockSpec((1, 1, hb, S2, Df), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hb, 1, S), kv_index,
+                pl.BlockSpec((1, 1, hb, f, S2), kv_index,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hb, 1, S), kv_index,
+                pl.BlockSpec((1, 1, hb, f, S2), kv_index,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, hb, T, D),

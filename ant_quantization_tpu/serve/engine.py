@@ -536,8 +536,11 @@ def _attention(cfg: EngineConfig, q, kv: QuantKV, pos0, T, alibi):
     in-register — one int8-width read of the cache, no materialized copy."""
     c = cfg.lm
     qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
-    if cfg.kv_int8 and T <= 16:
-        # decode / short continuation: fused kernel, int8-width cache read
+    if cfg.kv_int8 and T <= 16 and kv.k.shape[-1] == c.head_dim:
+        # decode / short continuation on a FLAT-layout cache: fused
+        # kernel, int8-width cache read (lane-folded caches take the
+        # stacked kernel path in _attention_stacked; here they fall
+        # through to the dequant einsum, whose reshape unfolds for free)
         out = int8_kv_attention(qh, kv.k, kv.v, kv.k_scale, kv.v_scale,
                                 pos0, alibi, out_dtype=cfg.dtype,
                                 interpret=cfg.interpret)
@@ -577,7 +580,6 @@ def _attention_stacked(cfg: EngineConfig, q, kv: QuantKV, l, pos0, T,
     slices layer l once, which is amortized over the prefill tokens."""
     c = cfg.lm
     qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
-    L, B, H, S, D = kv.k.shape
     if cfg.kv_int8 and T <= 16:
         # the cache rides in its NATIVE 5-D layout — flattening to 2-D
         # is only layout-free for D = 128 (int8 lanes); at head_dim 64
@@ -755,8 +757,12 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
 
 def init_cache(cfg: EngineConfig, batch: int):
     c = cfg.lm
-    kv = init_kv(batch, cfg.max_seq, c.n_heads, c.head_dim)
-    if not cfg.kv_int8:
+    if cfg.kv_int8:
+        kv = init_kv(batch, cfg.max_seq, c.n_heads, c.head_dim)
+    else:
+        # baseline caches keep the flat layout (einsum paths read them
+        # directly; lane folding only pays for int8 storage)
+        kv = init_kv(batch, cfg.max_seq, c.n_heads, c.head_dim, fold=1)
         kv = QuantKV(
             jnp.zeros(kv.k.shape, cfg.dtype), jnp.zeros(kv.v.shape, cfg.dtype),
             kv.k_scale, kv.v_scale)

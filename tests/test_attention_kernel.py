@@ -77,15 +77,17 @@ def test_append_layout_roundtrip():
     k_new = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
     v_new = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
 
+    from ant_quantization_tpu.kernels.kv_cache import dequant_kv
+    # D = 8: below the fold threshold — flat (B, H, S, D) layout
+    assert cache.k.shape == (B, H, S, D)
     c1 = append_kv(cache, k_new, v_new, 4)
-    deq = (c1.k.astype(jnp.float32)
-           * c1.k_scale[..., None])                     # (B, H, S, D)
+    deq, _ = dequant_kv(c1, jnp.float32)                # (B, H, S, D)
     got = np.asarray(deq[:, :, 4:4 + T]).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(got, np.asarray(k_new), rtol=0.02, atol=0.02)
 
     idx = jnp.asarray([1, 9], jnp.int32)
     c2 = append_kv(cache, k_new, v_new, idx)
-    deq2 = c2.v.astype(jnp.float32) * c2.v_scale[..., None]
+    _, deq2 = dequant_kv(c2, jnp.float32)
     for b, i in enumerate([1, 9]):
         got = np.asarray(deq2[b, :, i:i + T]).transpose(1, 0, 2)
         np.testing.assert_allclose(got, np.asarray(v_new[b]),
@@ -144,3 +146,61 @@ def test_append_kv_stacked_matches_per_layer():
             np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(b0[0]))
             np.testing.assert_array_equal(np.asarray(g[2]), np.asarray(b0[2]))
             np.testing.assert_array_equal(np.asarray(g[1]), np.asarray(w))
+
+
+def test_folded_stacked_kernel_matches_oracle():
+    """Lane-folded cache layout (kv_cache.py: f = 128/D positions per
+    row): the stacked kernel's per-plane math must equal the flat-layout
+    oracle. The fold is a row-major reshape, so the flat cache folds for
+    free."""
+    from ant_quantization_tpu.kernels.attention import (
+        stacked_int8_kv_attention)
+    L, B, H, S, D = 2, 2, 4, 32, 16
+    f = 128 // D
+    k, v, ks, vs = _rand_stack(L, B, H, S, D, seed=13)
+    kf = k.reshape(L, B, H, S // f, f * D)
+    vf = v.reshape(L, B, H, S // f, f * D)
+    # scales plane-major: [.., r, s2] = scale[.., f*s2 + r]
+    pm = lambda s: s.reshape(L, B, H, S // f, f).swapaxes(-1, -2)
+    rng = np.random.default_rng(5)
+    for l, T, pos0 in ((0, 1, 9), (1, 4, 3)):
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        p = jnp.full((B,), pos0, jnp.int32)
+        got = stacked_int8_kv_attention(
+            jnp.asarray(l, jnp.int32), q, kf, vf, pm(ks), pm(vs), p,
+            out_dtype=jnp.float32, interpret=True)
+        want = attention_oracle(q, k[l], v[l], ks[l], vs[l], p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_folded_append_dynamic_start():
+    """Folded-cache writes at a DYNAMIC position with T > 1 (the
+    lax.switch plane-stride path) and per-sequence vector positions:
+    positions round-trip through dequant_kv, untouched rows stay zero."""
+    from ant_quantization_tpu.kernels.kv_cache import dequant_kv
+    import jax as _jax
+    B, H, S, D, T = 2, 2, 64, 32, 5
+    cache = init_kv(B, S, H, D)          # f = 4
+    assert cache.k.shape == (B, H, S // 4, 4 * D)
+    rng = np.random.default_rng(3)
+    k_new = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    app = _jax.jit(lambda c, i: append_kv(c, k_new, v_new, i))
+    for start in (0, 3, 17, 31):
+        c = app(cache, jnp.asarray(start, jnp.int32))
+        deq, _ = dequant_kv(c, jnp.float32)
+        got = np.asarray(deq[:, :, start:start + T]).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(got, np.asarray(k_new),
+                                   rtol=0.02, atol=0.02)
+        mask = np.ones(S, bool)
+        mask[start:start + T] = False
+        assert np.all(np.asarray(deq)[:, :, mask] == 0)
+    # per-sequence vector positions with T > 1 (speculative verify path)
+    idx = jnp.asarray([3, 10], jnp.int32)
+    c = _jax.jit(lambda cc, i: append_kv(cc, k_new, v_new, i))(cache, idx)
+    _, deqv = dequant_kv(c, jnp.float32)
+    for b, i in enumerate([3, 10]):
+        got = np.asarray(deqv[b, :, i:i + T]).transpose(1, 0, 2)
+        np.testing.assert_allclose(got, np.asarray(v_new[b]),
+                                   rtol=0.02, atol=0.02)

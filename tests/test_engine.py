@@ -198,3 +198,36 @@ def test_quantize_lm_head_roundtrip():
     rowmax = np.abs(np.asarray(wte)).max(axis=1)
     assert (err <= rowmax / 127.0 * 0.51 + 1e-8).all()
     assert top["wte_i8"].dtype == jnp.int8
+
+
+def test_engine_folded_kv_matches_flat():
+    """Lane-folded int8 KV storage (kernels/kv_cache.py, head_dim 32 ->
+    fold 4) must produce logits identical to a flat-layout cache through
+    prefill + several decode steps — storage layout only, same codes."""
+    from ant_quantization_tpu.kernels.kv_cache import QuantKV, init_kv
+    cfg = LMConfig(vocab_size=128, d_model=128, n_layers=2, n_heads=4,
+                   d_ff=256, max_seq=64, positions="learned",
+                   activation="gelu_new", fused_qkv=True)
+    model, ids, variables = _setup(cfg)
+    ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=True,
+                            max_seq=64, dtype=jnp.float32, interpret=True)
+    ep = eng.build_engine_params(ecfg, variables["params"])
+
+    kv_f = eng.init_cache(ecfg, 2)                 # folded (f = 4)
+    assert kv_f.k.shape[-1] == 128 and kv_f.k.shape[-2] == 16
+    flat = init_kv(2, 64, cfg.n_heads, cfg.head_dim, fold=1)
+    kv_1 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (cfg.n_layers,) + x.shape),
+        flat)
+
+    outs = []
+    for kv in (kv_f, kv_1):
+        lg, kv = eng.forward(ecfg, ep, ids, kv, 0)
+        toks = [np.asarray(lg[:, -1:])]
+        tok = jnp.argmax(lg[:, -1:], axis=-1)
+        for i in range(4):
+            lg, kv = eng.forward(ecfg, ep, tok, kv, ids.shape[1] + i)
+            toks.append(np.asarray(lg))
+            tok = jnp.argmax(lg[:, -1:], axis=-1)
+        outs.append(np.concatenate([t.reshape(2, -1) for t in toks], 1))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
