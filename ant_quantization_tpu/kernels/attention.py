@@ -106,7 +106,8 @@ def int8_kv_attention(q: jax.Array, k_i8: jax.Array, v_i8: jax.Array,
 
     q:                (B, H, T, D) float — query-position t is pos0[b] + t
     k_i8, v_i8:       (B, H, S, D) int8 codes
-    k_scale, v_scale: (B, H, S) f32 per-position dequant scales
+    k_scale, v_scale: (B, H, S) or kernel-native (B, H, 1, S) f32
+                      per-position dequant scales
     pos0:             (B,) int32 first query position per sequence
     slopes:           optional (H,) f32 ALiBi slopes
     returns           (B, H, T, D) out_dtype
@@ -257,15 +258,19 @@ def stacked_int8_kv_attention(l: jax.Array, q: jax.Array,
     # blocks: the last two dims equal the array's, so the block rule
     # admits ANY head chunk (a 2-D (hb, S) block would require
     # hb % 8 == 0, rejecting GPT-2's 12/16/20/25-head geometries).
-    # Folded caches STORE scales plane-major (kernels/kv_cache.py) —
-    # transposing (L, B, H, S) here instead would stream the full scale
-    # arrays once per layer (measured +2.6 ms/step at GPT2-XL, 48L)
-    if f > 1:
+    # Caches STORE scales plane-major for every f (kernels/kv_cache.py)
+    # so no reshape happens here on the serving path: reshaping the flat
+    # (L, B, H, S) stack per layer call is NOT layout-preserving (the
+    # degenerate dim becomes the sublane dim — measured ~1 ms/step of
+    # relayout at OPT-6.7B, r4->r5), and transposing folded scales here
+    # instead of storing plane-major measured +2.6 ms/step at GPT2-XL.
+    # Flat (L, B, H, S) input is still accepted for tests/compat.
+    if k_scale.ndim == 5:
         assert k_scale.shape == (L, B, H, f, S2), k_scale.shape
         ks5d = k_scale.astype(jnp.float32)
         vs5d = v_scale.astype(jnp.float32)
     else:
-        assert k_scale.shape == (L, B, H, S), k_scale.shape
+        assert f == 1 and k_scale.shape == (L, B, H, S), k_scale.shape
         ks5d = k_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
         vs5d = v_scale.astype(jnp.float32).reshape(L, B, H, 1, S)
 

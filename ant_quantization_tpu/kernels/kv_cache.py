@@ -13,7 +13,13 @@ feeding it to the Pallas attention kernel repacks the whole cache every
 step (measured 3.8 ms/step at GPT2-XL geometry, r4 trace). Folding makes
 D < 128 head dims (GPT-2/BERT: 64) stream at full rate; position ``p``
 lives at row ``p // f``, lanes ``[(p % f)·D, (p % f + 1)·D)``. Scales
-keep the flat (B, H, S) layout (S is already the lane dim there).
+are stored plane-major **(B, H, f, S/f)** for every int8 cache —
+including f = 1, where that is (B, H, 1, S): the attention kernel blocks
+scales with trailing dims (f, S/f), and reshaping a flat (.., H, S)
+stack into that shape per layer call is not layout-preserving on TPU
+(the degenerate second-minor dim becomes the sublane dim), so storing
+kernel-native avoids a full-stack relayout every decode step (r5 fix of
+the r4 advisor finding).
 
 The (S/f, f·D) row block a single head's attention reads stays
 contiguous and tile-aligned, streamed per (b, h) grid step by the fused
@@ -35,10 +41,10 @@ __all__ = ["QuantKV", "kv_fold", "init_kv", "append_kv",
 class QuantKV(NamedTuple):
     k: jax.Array        # (B, H, S/f, f*D) int8 (or (B, H, S, D) bf16/f32)
     v: jax.Array        # like k
-    k_scale: jax.Array  # (B, H, S) f32 — PLANE-MAJOR (B, H, f, S/f) when
-    v_scale: jax.Array  # the codes are folded (f > 1), so the attention
-                        # kernel blocks them directly with no per-layer
-                        # transpose (position p -> [p % f, p // f])
+    k_scale: jax.Array  # (B, H, f, S/f) f32 PLANE-MAJOR (f = 1 included:
+    v_scale: jax.Array  # (B, H, 1, S)) so the attention kernel blocks
+                        # them directly with no per-layer reshape
+                        # (position p -> [p % f, p // f])
 
 
 def kv_fold(head_dim: int, max_len: int) -> int:
@@ -49,23 +55,28 @@ def kv_fold(head_dim: int, max_len: int) -> int:
     kernel plus f write branches in the folded append — at the f = 16 a
     toy head_dim 8 would pick, that graph bloat swamps any bandwidth win
     (and interpret-mode tests most of all) while 16-lane rows would still
-    pad 8x anyway."""
+    pad 8x anyway.
+
+    ``max_len`` need not divide f: :func:`init_kv` rounds the allocated
+    length up to a fold multiple (the attention mask covers the tail), so
+    an odd max_seq never silently falls back to the flat layout's 2x
+    lane padding (r4 advisor finding)."""
+    del max_len
     if head_dim >= 128 or 128 % head_dim or head_dim < 32:
         return 1
-    f = 128 // head_dim
-    return f if max_len % f == 0 else 1
+    return 128 // head_dim
 
 
 def init_kv(batch: int, max_len: int, n_heads: int, head_dim: int,
             fold: Optional[int] = None) -> QuantKV:
-    """``fold=1`` forces the flat (B, H, S, D) layout (bf16 baseline
-    caches and the unfused per-layer kernel use it)."""
+    """``fold=1`` forces the flat (B, H, S, D) code layout (bf16 baseline
+    caches and the unfused per-layer kernel use it). The allocated length
+    is ``max_len`` rounded up to a fold multiple; scales are always
+    plane-major (B, H, f, S/f)."""
     f = kv_fold(head_dim, max_len) if fold is None else fold
-    z8 = jnp.zeros((batch, n_heads, max_len // f, f * head_dim), jnp.int8)
-    if f == 1:
-        zs = jnp.zeros((batch, n_heads, max_len), jnp.float32)
-    else:
-        zs = jnp.zeros((batch, n_heads, f, max_len // f), jnp.float32)
+    S = -(-max_len // f) * f
+    z8 = jnp.zeros((batch, n_heads, S // f, f * head_dim), jnp.int8)
+    zs = jnp.zeros((batch, n_heads, f, S // f), jnp.float32)
     return QuantKV(z8, z8, zs, zs)
 
 
@@ -133,17 +144,32 @@ def _put_codes(buf: jax.Array, val: jax.Array, index, layer=None):
 
 def _put_scale_at(buf: jax.Array, upd: jax.Array, prefix: tuple, idx,
                   f: int):
-    """One positional write of ``upd`` (.., H, T) scales into a flat
-    (.., H, S) or plane-major (.., H, f, S/f) scale buffer."""
+    """One positional write of ``upd`` (.., H, T) scales into a
+    plane-major (.., H, f, S/f) scale buffer (f = 1: (.., H, 1, S))."""
     T = upd.shape[-1]
-    if f == 1:
-        zeros = (0,) * (buf.ndim - len(prefix) - 1)
-        return jax.lax.dynamic_update_slice(buf, upd,
-                                            prefix + zeros + (idx,))
     zeros = (0,) * (buf.ndim - len(prefix) - 2)
     if T == 1:
+        # Decode hot path. A (.., H, 1, 1) DUS update writes ONE f32 lane
+        # per (b, h) tile row — B*H scattered masked element writes,
+        # measured 13 us/layer on v5e (the codes' contiguous 128-lane row
+        # updates take 2.6 us). Instead: read the layer's full (f, S/f)
+        # scale rows, select the new scalar in at [idx % f, idx // f],
+        # and write whole rows back — the DUS update is lane-aligned, the
+        # extra ~0.6 MB/layer of streamed rows costs ~1 us, and XLA keeps
+        # the buffer in place on the scan carry.
+        start = prefix + zeros + (0, 0)
+        sizes = ((1,) * len(prefix) + buf.shape[len(prefix):-2]
+                 + buf.shape[-2:])
+        rows = jax.lax.dynamic_slice(buf, start, sizes)
+        fdim, s2 = buf.shape[-2:]
+        mask = ((jnp.arange(fdim)[:, None] == idx % fdim)
+                & (jnp.arange(s2)[None, :] == idx // fdim))
+        newv = upd[..., 0][..., None, None].astype(buf.dtype)
         return jax.lax.dynamic_update_slice(
-            buf, upd[..., None, :], prefix + zeros + (idx % f, idx // f))
+            buf, jnp.where(mask, newv, rows), start)
+    if f == 1:
+        return jax.lax.dynamic_update_slice(buf, upd[..., None, :],
+                                            prefix + zeros + (0, idx))
 
     def mk(r0):
         def branch(b_):

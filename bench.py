@@ -142,7 +142,26 @@ def _note(msg):
     print(f"# .. {msg}", file=sys.stderr, flush=True)
 
 
-def _bench(cfg: eng.EngineConfig, label: str) -> float:
+def _int8_stream_bytes(c, batch, max_seq) -> float:
+    """HBM bytes one decode step must stream at minimum under the W4A4 +
+    int8-KV + int8-lm_head config: every weight byte once (int8 codebook
+    values), the written cache region once (int8 K/V + f32 scales), the
+    int8 lm_head once. Activations/temps are negligible at decode."""
+    w = c.n_layers * (4 * c.d_model ** 2 + 2 * c.d_model * c.d_ff)
+    head = c.vocab_size * c.d_model
+    kv = 2 * c.n_layers * batch * c.n_heads * max_seq * c.head_dim
+    scales = 2 * c.n_layers * batch * c.n_heads * max_seq * 4
+    return float(w + head + kv + scales)
+
+
+# Measured peak Pallas scalar-prefetch stream rate on this chip (PERF.md
+# streaming-rate table, 32 MB/call row). The int8-stream floor =
+# _int8_stream_bytes / this; the roofline %% in the metric string is
+# measured-floor/measured-step, self-judging against the >=80%% target.
+_STREAM_PEAK = 731e9
+
+
+def _bench(cfg: eng.EngineConfig, label: str, spread_out=None) -> float:
     _note(f"{label}: building params")
     ep = _rand_engine_params(cfg, jax.random.PRNGKey(0))
     ids = jax.random.randint(jax.random.PRNGKey(1), (BATCH, PREFILL), 0,
@@ -172,15 +191,28 @@ def _bench(cfg: eng.EngineConfig, label: str) -> float:
     _sync(tok)
     _note(f"{label}: decode warm done")
 
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        tok, kv = decode_n(ep, tok, kv)
-    _sync(tok)
-    dt = (time.perf_counter() - t0) / reps
-    tps = BATCH * DECODE_STEPS / dt
-    print(f"# {label}: {dt / DECODE_STEPS * 1e3:.2f} ms/step, "
-          f"{tps:.0f} tokens/s", file=sys.stderr)
+    # median of N independently-timed blocks (each block dispatches
+    # `reps` windows back-to-back and fences once, so the remote-dispatch
+    # RTT amortizes over reps*DECODE_STEPS steps); the spread bounds the
+    # run-to-run noise the single-window r4 capture hid (VERDICT r4 #2)
+    reps, blocks = 3, 5
+    per_step = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            tok, kv = decode_n(ep, tok, kv)
+        _sync(tok)
+        per_step.append((time.perf_counter() - t0)
+                        / (reps * DECODE_STEPS))
+    med = float(np.median(per_step))
+    spread = (max(per_step) - min(per_step)) / med
+    tps = BATCH / med
+    print(f"# {label}: {med * 1e3:.2f} ms/step median of {blocks} "
+          f"(spread {spread * 100:.1f}%), {tps:.0f} tokens/s",
+          file=sys.stderr)
+    if spread_out is not None:
+        spread_out["ms_per_step"] = [round(t * 1e3, 3) for t in per_step]
+        spread_out["spread_pct"] = round(spread * 100, 2)
     return tps
 
 
@@ -203,8 +235,9 @@ def main():
         stacked_kernel=os.environ.get("BENCH_STACKED", "1") == "1",
         stacked_block_n=int(os.environ.get("BENCH_BLOCK_N", "4096")),
         stacked_block_k=int(os.environ.get("BENCH_BLOCK_K", "1024")))
+    qstats = {}
     with maybe_trace(profile_dir_from_env()):
-        tps_q = _bench(qcfg, f"W4A4+int8KV {N_LAYERS}L")
+        tps_q = _bench(qcfg, f"W4A4+int8KV {N_LAYERS}L", spread_out=qstats)
     import gc
     gc.collect()        # free the quantized ep before the bf16 baseline
 
@@ -307,13 +340,21 @@ def main():
                      f"{'/'.join(str(d) for d in depths)}L measurements "
                      f"(slope {per_layer / DECODE_STEPS * 1e3:.3f} "
                      f"ms/step/layer, {fit_note})")
+    floor_ms = _int8_stream_bytes(LM, BATCH, MAX_SEQ) / _STREAM_PEAK * 1e3
+    step_ms = BATCH / tps_q * 1e3
     print(json.dumps({
         "metric": (f"decode tokens/s/chip, OPT-6.7B {N_LAYERS}L "
                    f"OliVe-style W4A4 + INT8 KV (bs={BATCH}, "
-                   f"ctx={PREFILL}); baseline: {base_note}"),
+                   f"ctx={PREFILL}); median of 5 blocks, spread "
+                   f"{qstats.get('spread_pct', 0)}%; "
+                   f"{floor_ms / step_ms * 100:.1f}% of the "
+                   f"{floor_ms:.1f} ms int8-stream floor (target >=80%); "
+                   f"baseline: {base_note}"),
         "value": round(tps_q, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tps_q / tps_b, 3),
+        "ms_per_step_blocks": qstats.get("ms_per_step"),
+        "roofline_pct": round(floor_ms / step_ms * 100, 1),
     }))
 
 

@@ -134,8 +134,9 @@ def test_append_kv_stacked_matches_per_layer():
     base = QuantKV(
         jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8),
         jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8),
-        jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, S)), jnp.float32),
-        jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, S)), jnp.float32))
+        # scales plane-major (f = 1 -> (.., 1, S)), the canonical layout
+        jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, 1, S)), jnp.float32),
+        jnp.asarray(rng.uniform(0.01, 0.1, (L, B, H, 1, S)), jnp.float32))
     kh = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
     vh = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
     for pos in (jnp.asarray(5), jnp.asarray([3, 9], jnp.int32)):
@@ -163,13 +164,18 @@ def test_folded_stacked_kernel_matches_oracle():
     # scales plane-major: [.., r, s2] = scale[.., f*s2 + r]
     pm = lambda s: s.reshape(L, B, H, S // f, f).swapaxes(-1, -2)
     rng = np.random.default_rng(5)
-    for l, T, pos0 in ((0, 1, 9), (1, 4, 3)):
+    # ALiBi slopes exercise the per-plane ``rel = f*col + r - row - pos0``
+    # bias term (BLOOM-560m-style head_dim-64 geometry folds to f > 1)
+    slope_sets = (None, jnp.asarray([0.5, 0.25, 0.125, 0.0625],
+                                    jnp.float32))
+    for (l, T, pos0), slopes in zip(((0, 1, 9), (1, 4, 3), (0, 2, 11)),
+                                    (None, None, slope_sets[1])):
         q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
         p = jnp.full((B,), pos0, jnp.int32)
         got = stacked_int8_kv_attention(
             jnp.asarray(l, jnp.int32), q, kf, vf, pm(ks), pm(vs), p,
-            out_dtype=jnp.float32, interpret=True)
-        want = attention_oracle(q, k[l], v[l], ks[l], vs[l], p)
+            slopes, out_dtype=jnp.float32, interpret=True)
+        want = attention_oracle(q, k[l], v[l], ks[l], vs[l], p, slopes)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
