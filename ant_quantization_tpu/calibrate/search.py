@@ -128,8 +128,17 @@ def _ratio_ladder(low: int, up: int, step: int) -> np.ndarray:
 
 
 def _search_bit(x2, cfg: SiteConfig, bit: int, modes: tuple[str, ...],
-                low: int, per_channel: bool, signed: jax.Array):
+                low: int, per_channel: bool, signed: jax.Array,
+                sticky=None):
     """Full type+scale search at one static bit-width.
+
+    ``sticky`` (traced scalar int32, -1 = none) pins the chosen numeric
+    type to a previously calibrated one: the reference overwrites
+    ``self.mode`` with the CONCRETE chosen type at first calibration, so
+    a recalibration (set_8_bit_layer_n resets has_inited for EVERY
+    quantizer) never re-runs the adaptive search — ``"ant-" in
+    self.mode`` is false by then (ant quant_modules.py:479-484, olive
+    :269-274) — and only the alpha ladder re-runs on the new batch.
 
     Returns (mode_idx, alpha, score, grid256, outliers256)."""
     ratios = _ratio_ladder(low, cfg.up, cfg.scan_step)
@@ -154,6 +163,11 @@ def _search_bit(x2, cfg: SiteConfig, bit: int, modes: tuple[str, ...],
         search_grids.append(grid)
 
     chosen = jnp.argmin(jnp.stack(scores))  # stable: earlier mode wins ties
+    if sticky is not None and len(modes) > 1:
+        mode_ids_ = jnp.asarray([mode_index(m) for m in modes], jnp.int32)
+        eq = mode_ids_ == sticky
+        chosen = jnp.where((sticky >= 0) & jnp.any(eq),
+                           jnp.argmax(eq), chosen)
 
     final_pairs = jnp.asarray(
         np.stack([_grid_pair(cfg, m, bit, search=False) for m in modes]))
@@ -189,12 +203,16 @@ def _pad_dyn(g: jax.Array, size: int) -> jax.Array:
 
 
 def calibrate(x: jax.Array, cfg: SiteConfig,
-              promoted: Optional[jax.Array] = None) -> QuantState:
+              promoted: Optional[jax.Array] = None,
+              prev_mode: Optional[jax.Array] = None) -> QuantState:
     """Calibrate one tensor and return its QuantState.
 
     ``promoted`` (scalar bool) switches the site to 8-bit int — the dynamic
-    leg of set_8_bit_layer_n. Weight tensors are expected channel-last
-    (flax convention); cfg.channel_axis selects the per-channel dim.
+    leg of set_8_bit_layer_n. ``prev_mode`` (scalar int32, -1 = first
+    calibration) pins a previously chosen adaptive numeric type: the
+    reference never re-adapts on recalibration (see _search_bit). Weight
+    tensors are expected channel-last (flax convention);
+    cfg.channel_axis selects the per-channel dim.
     """
     if cfg.mode == "outlier":
         return _calibrate_outlier(x, cfg)
@@ -209,6 +227,8 @@ def calibrate(x: jax.Array, cfg: SiteConfig,
 
     if promoted is None:
         promoted = jnp.asarray(False)
+    if prev_mode is None:
+        prev_mode = jnp.asarray(-1, jnp.int32)
 
     def low_branch(_):
         bit = cfg.bit
@@ -220,7 +240,7 @@ def calibrate(x: jax.Array, cfg: SiteConfig,
         if bit > 6:
             modes = ("int",)
         m, a, s, g, o = _search_bit(x2, cfg, bit, modes, low, per_channel,
-                                    signed)
+                                    signed, sticky=prev_mode)
         return m, a, s, g, o, jnp.asarray(bit, jnp.int32)
 
     def high_branch(_):

@@ -301,12 +301,19 @@ def int8_codebook(grid16) -> tuple[np.ndarray, float, bool]:
 
 
 def quantize_weights_w4_i8(w: jax.Array, grid: jax.Array,
-                           alpha: jax.Array) -> tuple[jax.Array, jax.Array]:
+                           alpha: jax.Array, axis: int = 1
+                           ) -> tuple[jax.Array, jax.Array]:
     """Quantize a (K, N) weight onto a 16-entry grid, storing the int8
     *values* of the grid entries (see int8_codebook); returns
-    ``(w_i8 (K, N) int8, oscale (N,) f32)`` with the dequantized weight
-    equal to ``w_i8 * oscale`` — identical numerics to the fake-quant path
-    when the grid is exactly int8-representable (always, for 4-bit grids).
+    ``(w_i8 (K, N) int8, scale f32)`` with the dequantized weight
+    equal to ``w_i8 * scale`` broadcast along ``axis`` — identical
+    numerics to the fake-quant path when the grid is exactly
+    int8-representable (always, for 4-bit grids).
+
+    ``axis`` is the per-channel dim: 1 (out, Linear semantics, scale
+    (N,)) or 0 (in, GPT-2 Conv1D semantics — olive
+    quant_modules.py:358-387 calibrates its (in, out) weight over dim 0;
+    scale (K,)).
     """
     g16 = np.asarray(grid).reshape(-1)[:16]
     q16, unit, _ = int8_codebook(g16)
@@ -314,9 +321,10 @@ def quantize_weights_w4_i8(w: jax.Array, grid: jax.Array,
     # (quant_modules.py:537), not absmax; they differ for the asymmetric
     # int grids ([-8..7]-shaped, |min| > max)
     vmax = float(np.max(g16))
-    scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1), (w.shape[1],))
-             / vmax).astype(jnp.float32)
-    codes = snap_codes(w / scale[None, :], jnp.asarray(g16, jnp.float32))
+    scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1),
+                              (w.shape[axis],)) / vmax).astype(jnp.float32)
+    sexp = scale[None, :] if axis == 1 else scale[:, None]
+    codes = snap_codes(w / sexp, jnp.asarray(g16, jnp.float32))
     # select tree over the 16 static codebook values — no gather (TPU
     # gathers route through the scalar core; see ops/snap.py)
     w_i8 = jnp.full(codes.shape, int(q16[0]), jnp.int8)
@@ -392,14 +400,15 @@ def ovp_unit(grid16: np.ndarray, out16: np.ndarray) -> tuple[float, bool]:
 
 def quantize_weights_ovp_i8(w: jax.Array, grid: jax.Array,
                             outliers: jax.Array, alpha: jax.Array,
-                            pair_axis: int = 0
+                            pair_axis: int = 0, axis: int = 1
                             ) -> tuple[jax.Array, jax.Array]:
     """OVP-quantize a (K, N) weight (snap onto grid||outliers, zero the
     victims — olive quant_modules.py:294-330) and store it in the
-    sign-offset int8 encoding. Returns (w_enc (K, N) int8, oscale (N,))
-    with the dequantized weight equal to
-    ``ovp_decode_values(w_enc) * oscale`` — exactly
-    the olive fake-quant forward's output."""
+    sign-offset int8 encoding. Returns (w_enc (K, N) int8, scale) with
+    the dequantized weight equal to ``ovp_decode_values(w_enc) * scale``
+    broadcast along ``axis`` (1 = per-out (N,), Linear; 0 = per-in (K,),
+    GPT-2 Conv1D semantics) — exactly the olive fake-quant forward's
+    output."""
     from ..ops.ovp import apply_ovp
     from ..ops.snap import snap_concat
 
@@ -413,10 +422,11 @@ def quantize_weights_ovp_i8(w: jax.Array, grid: jax.Array,
             "fake-quant path or adjust the codebooks")
     vmax = float(np.max(g16))          # reference scale: SIGNED max of
     scale = (jnp.broadcast_to(jnp.asarray(alpha).reshape(-1),  # normals
-                              (w.shape[1],)) / vmax).astype(jnp.float32)
+                              (w.shape[axis],)) / vmax).astype(jnp.float32)
+    sexp = scale[None, :] if axis == 1 else scale[:, None]
     full = jnp.concatenate([jnp.asarray(g16, jnp.float32),
                             jnp.asarray(o16, jnp.float32)])
-    q, _ = snap_concat(w / scale[None, :], full)
+    q, _ = snap_concat(w / sexp, full)
     q = apply_ovp(q, pair_axis=pair_axis)          # victims -> 0
     # integer-domain value -> encoded byte, via a 32-entry select tree
     # over the known codebook values (pack-time only)

@@ -47,6 +47,16 @@ class LMConfig:
     embed_ln: bool = False            # BLOOM word-embedding LayerNorm
     ln_eps: float = 1e-5
     tie_word_embeddings: bool = True
+    # GPT-2's matmul sites are pytorch_utils.Conv1D, which the reference
+    # quantizes per-channel over the weight's dim 0 — its (in, out)
+    # storage makes that the INPUT dim — with OVP pairs along the out
+    # axis (olive quant_modules.py:358-387, set_param does not reshape
+    # alpha per OUT). True = reproduce those axes at every site (gpt2
+    # preset — all its matmuls are Conv1D); False = Linear semantics
+    # everywhere (per-out, pairs along in: OPT/BLOOM); a tuple of site
+    # names ("qkv", "q", "k", "v", "out", "fc_in", "fc_out") marks a
+    # subset (models mixing Conv1D attention with Linear MLPs).
+    conv1d_sites: Any = False
     dtype: Any = jnp.float32
 
     @property
@@ -62,7 +72,8 @@ def gpt2_config(size: str = "xl", **kw) -> LMConfig:
     d, l, h = dims[size]
     return LMConfig(vocab_size=50257, d_model=d, n_layers=l, n_heads=h,
                     d_ff=4 * d, max_seq=1024, positions="learned",
-                    activation="gelu_new", fused_qkv=True, **kw)
+                    activation="gelu_new", fused_qkv=True,
+                    conv1d_sites=True, **kw)
 
 
 def opt_config(size: str = "6.7b", **kw) -> LMConfig:
@@ -97,6 +108,26 @@ def alibi_slopes(n_heads: int) -> np.ndarray:
     return np.concatenate([base, extra])
 
 
+ALL_SITES = ("qkv", "q", "k", "v", "out", "fc_in", "fc_out")
+
+
+def conv1d_site_names(c: LMConfig) -> frozenset:
+    """Normalized set of sites with Conv1D quantizer semantics."""
+    if c.conv1d_sites is True:
+        return frozenset(ALL_SITES)
+    if not c.conv1d_sites:
+        return frozenset()
+    return frozenset(c.conv1d_sites)
+
+
+def _qdense(c: LMConfig, qcfg: QuantConfig, features: int, name: str):
+    """QuantDense with the site's reference quantizer axes (see
+    LMConfig.conv1d_sites)."""
+    ca, pa = (0, 1) if name in conv1d_site_names(c) else (-1, 0)
+    return QuantDense(features, qcfg, dtype=c.dtype, name=name,
+                      channel_axis=ca, pair_axis=pa)
+
+
 def _activation(name: str):
     if name == "gelu_new":
         return lambda x: 0.5 * x * (1.0 + jnp.tanh(
@@ -120,13 +151,12 @@ class SelfAttention(nn.Module):
         c = self.cfg
         h, hd = c.n_heads, c.head_dim
         if c.fused_qkv:
-            qkv = QuantDense(3 * c.d_model, self.qcfg, dtype=c.dtype,
-                             name="qkv")(x)
+            qkv = _qdense(c, self.qcfg, 3 * c.d_model, "qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            q = QuantDense(c.d_model, self.qcfg, dtype=c.dtype, name="q")(x)
-            k = QuantDense(c.d_model, self.qcfg, dtype=c.dtype, name="k")(x)
-            v = QuantDense(c.d_model, self.qcfg, dtype=c.dtype, name="v")(x)
+            q = _qdense(c, self.qcfg, c.d_model, "q")(x)
+            k = _qdense(c, self.qcfg, c.d_model, "k")(x)
+            v = _qdense(c, self.qcfg, c.d_model, "v")(x)
 
         B, T = x.shape[0], x.shape[1]
         q = q.reshape(B, T, h, hd)
@@ -151,8 +181,7 @@ class SelfAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(attn.dtype))
         out = out.reshape(B, T, c.d_model)
-        out = QuantDense(c.d_model, self.qcfg, dtype=c.dtype,
-                         name="out")(out)
+        out = _qdense(c, self.qcfg, c.d_model, "out")(out)
         return out, new_cache
 
 
@@ -171,9 +200,9 @@ class Block(nn.Module):
             cache_index=cache_index)
         x = x + a
         h = nn.LayerNorm(epsilon=c.ln_eps, name="ln_2")(x)
-        h = QuantDense(c.d_ff, self.qcfg, dtype=c.dtype, name="fc_in")(h)
+        h = _qdense(c, self.qcfg, c.d_ff, "fc_in")(h)
         h = act(h)
-        h = QuantDense(c.d_model, self.qcfg, dtype=c.dtype, name="fc_out")(h)
+        h = _qdense(c, self.qcfg, c.d_model, "fc_out")(h)
         return x + h, new_cache
 
 

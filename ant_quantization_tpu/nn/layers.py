@@ -60,18 +60,27 @@ class _QuantSite:
             # 8-bit through recalibration (bit buffer persists in the
             # reference checkpoints too).
             init = st.initialized
+            # sticky adaptive type on RE-calibration (bit > 0 marks a
+            # previously calibrated state): the reference overwrites
+            # self.mode with the concrete chosen type at first
+            # calibration, so recalibration never re-adapts — only the
+            # alpha ladder re-runs (see calibrate/search.py:_search_bit)
+            prev_mode = jnp.where(st.bit > 0,
+                                  jnp.asarray(st.mode_idx, jnp.int32),
+                                  jnp.asarray(-1, jnp.int32))
             if isinstance(init, jax.core.Tracer):
                 promoted = (st.bit >= 8 if self.cfg.bit < 8
                             else jnp.asarray(False))
                 new = calibrate_jit(x.astype(jnp.float32), self.cfg,
-                                    promoted=promoted)
+                                    promoted=promoted, prev_mode=prev_mode)
                 self.var.value = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(init, a, b), st, new)
             elif not bool(init):
                 promoted = (st.bit >= 8 if self.cfg.bit < 8
                             else jnp.asarray(False))
                 self.var.value = calibrate_jit(x.astype(jnp.float32),
-                                               self.cfg, promoted=promoted)
+                                               self.cfg, promoted=promoted,
+                                               prev_mode=prev_mode)
         q = apply_quant(x.astype(jnp.float32), self.var.value, self.cfg)
         return q.astype(x.dtype)
 
@@ -83,6 +92,15 @@ class QuantDense(nn.Module):
     flax kernel is (in, features): per-channel axis = -1, OVP pairs along
     the reduction axis (= the reference's row-major flat order of its
     (out, in) weight).
+
+    ``channel_axis``/``pair_axis`` override the weight-quantizer axes for
+    GPT-2-heritage Conv1D sites: the reference's Conv1dQuantizer (olive
+    quant_modules.py:358-387) quantizes its (in, out)-stored weight
+    per-channel over dim 0 — the INPUT dim — with OVP pairs along the
+    row-major flat order, i.e. the out axis. Our kernel is stored
+    (in, out) exactly like Conv1D, so conv1d semantics are
+    ``channel_axis=0, pair_axis=1`` (models/transformer_lm.py sets them
+    via LMConfig.conv1d_sites).
     """
     features: int
     qcfg: QuantConfig
@@ -91,14 +109,18 @@ class QuantDense(nn.Module):
     param_dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros_init()
+    channel_axis: int = -1
+    pair_axis: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features), self.param_dtype)
         wsite = _QuantSite(self, "weight_q",
-                           self.qcfg.weight_site(channel_axis=-1, pair_axis=0),
-                           self.features)
+                           self.qcfg.weight_site(
+                               channel_axis=self.channel_axis,
+                               pair_axis=self.pair_axis),
+                           kernel.shape[self.channel_axis])
         asite = _QuantSite(self, "input_q", self.qcfg.input_site(), None)
         qk = wsite(kernel)
         qx = asite(x)

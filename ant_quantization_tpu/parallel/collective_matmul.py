@@ -117,30 +117,78 @@ def matmul_reducescatter(x: jax.Array, w_local: jax.Array,
     return acc
 
 
+def _ovp_local_dot(chunk: jax.Array, w_i8: jax.Array, w_clip,
+                   a_ovp: bool):
+    """Local dot of one ring hop with OVP decode folded in.
+
+    Sign-offset OVP codes decode LINEARLY: value(c) = 16c - 15*clip(c)
+    (kernels/qmatmul.py OVP section), so an OVP operand costs one extra
+    int8 MXU dot, not a decode pass. ``chunk`` may be OVP activation
+    codes (a_ovp: clip computed locally — the ring still carries ONE
+    int8 stream), ``w_clip`` is the precomputed clip of OVP weights
+    (loop-invariant, hoisted out of the ring). Plain x plain returns the
+    int32 dot; any OVP form returns the f32 combine — the same
+    accumulation class as the reference's f32 matmul (and the aovp
+    stacked kernel, kernels/stacked.py:_aovp_kernel)."""
+    dims = (((1,), (0,)), ((), ()))
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.int32)
+
+    if not a_ovp and w_clip is None:
+        return d(chunk, w_i8)
+    if not a_ovp:
+        return (16.0 * d(chunk, w_i8).astype(jnp.float32)
+                - 15.0 * d(chunk, w_clip).astype(jnp.float32))
+    px = jnp.clip(chunk.astype(jnp.int32), -64, 64).astype(jnp.int8)
+    if w_clip is None:
+        return (16.0 * d(chunk, w_i8).astype(jnp.float32)
+                - 15.0 * d(px, w_i8).astype(jnp.float32))
+    return (256.0 * d(chunk, w_i8).astype(jnp.float32)
+            - 240.0 * d(chunk, w_clip).astype(jnp.float32)
+            - 240.0 * d(px, w_i8).astype(jnp.float32)
+            + 225.0 * d(px, w_clip).astype(jnp.float32))
+
+
 def ring_allgather_matmul_i8(xq_local: jax.Array, w_i8: jax.Array,
-                             axis_name: str) -> jax.Array:
+                             axis_name: str, w_ovp: bool = False,
+                             a_ovp: bool = False) -> jax.Array:
     """Quantized column-parallel ring: int8 codes travel the ring.
 
     xq_local: (M_loc, K) int8 — this device's activation shard, already
               snapped to the shared int8 codebook domain (the snap is
-              per-tensor, so every device snaps identically)
-    w_i8:     (K, N_loc) int8 codebook-value weights (engine "w4" layout)
-    returns   (P*M_loc, N_loc) int32 — caller applies
+              per-tensor, so every device snaps identically); OVP
+              activation sites pass sign-offset codes with a_ovp=True
+    w_i8:     (K, N_loc) int8 codebook-value weights (engine "w4"
+              layout), or sign-offset OVP codes with w_ovp=True
+    returns   (P*M_loc, N_loc) int32 (plain) / f32 (any OVP: the
+              16/-15 decode combine) — caller applies
               (a_scale * oscale) and the bias.
+
+    OVP forms keep the ring traffic at ONE int8 stream: the weight clip
+    is loop-invariant and the activation clip derives locally from the
+    codes in flight. Each output row-block is produced by full-K dots in
+    a single hop, so the result is bit-identical to the single-device
+    dual/quad-dot path.
     """
     P = jax.lax.psum(1, axis_name)
     i = jax.lax.axis_index(axis_name)
     M_loc = xq_local.shape[0]
     N = w_i8.shape[1]
-    out = jnp.zeros((P * M_loc, N), jnp.int32)
+    any_ovp = w_ovp or a_ovp
+    w_clip = (jnp.clip(w_i8.astype(jnp.int32), -64, 64).astype(jnp.int8)
+              if w_ovp else None)
+    out = jnp.zeros((P * M_loc, N),
+                    jnp.float32 if any_ovp else jnp.int32)
     perm = [(d, (d - 1) % P) for d in range(P)]
 
     def step(s, carry):
         chunk, out = carry
         src = (i + s) % P
-        y = jax.lax.dot_general(chunk, w_i8, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        out = jax.lax.dynamic_update_slice(out, y, (src * M_loc, 0))
+        y = _ovp_local_dot(chunk, w_i8, w_clip, a_ovp)
+        out = jax.lax.dynamic_update_slice(out, y.astype(out.dtype),
+                                           (src * M_loc, 0))
         chunk = jax.lax.ppermute(chunk, axis_name, perm)
         return chunk, out
 
@@ -149,29 +197,37 @@ def ring_allgather_matmul_i8(xq_local: jax.Array, w_i8: jax.Array,
 
 
 def matmul_reducescatter_i8(xq: jax.Array, w_i8_local: jax.Array,
-                            axis_name: str) -> jax.Array:
-    """Quantized row-parallel ring: int32 partial sums travel the ring.
+                            axis_name: str, w_ovp: bool = False,
+                            a_ovp: bool = False) -> jax.Array:
+    """Quantized row-parallel ring: partial sums travel the ring.
 
     xq:         (M, K_loc) int8 — full rows snapped to the codebook
-                domain of THIS device's K slice (per-tensor scale)
-    w_i8_local: (K_loc, N) int8 codebook-value weight rows
-    returns     (M_loc, N) int32: this device's M shard of the exact
-                summed product (integer ring — no float reduction-order
-                effects). Caller applies (a_scale * oscale) + bias.
+                domain of THIS device's K slice (per-tensor scale);
+                sign-offset OVP codes with a_ovp=True
+    w_i8_local: (K_loc, N) int8 codebook-value weight rows (sign-offset
+                OVP codes with w_ovp=True)
+    returns     (M_loc, N): this device's M shard of the summed product.
+                Plain sites: int32 — exact, no float reduction-order
+                effects. OVP sites: f32 (the per-hop 16/-15 decode
+                combine rides the ring; same bytes as int32, same
+                accumulation class as the reference's f32 matmul).
+                Caller applies (a_scale * oscale) + bias.
     """
     P = jax.lax.psum(1, axis_name)
     i = jax.lax.axis_index(axis_name)
     M = xq.shape[0]
     M_loc = M // P
     N = w_i8_local.shape[1]
+    any_ovp = w_ovp or a_ovp
+    w_clip = (jnp.clip(w_i8_local.astype(jnp.int32), -64, 64)
+              .astype(jnp.int8) if w_ovp else None)
     perm = [(d, (d + 1) % P) for d in range(P)]
 
     def partial_for(shard, acc):
         rows = jax.lax.dynamic_slice(
             xq, (shard * M_loc, 0), (M_loc, xq.shape[1]))
-        return acc + jax.lax.dot_general(
-            rows, w_i8_local, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        return acc + _ovp_local_dot(rows, w_i8_local, w_clip,
+                                    a_ovp).astype(acc.dtype)
 
     def step(s, acc):
         shard = (i + (P - 1) - s) % P
@@ -181,5 +237,5 @@ def matmul_reducescatter_i8(xq: jax.Array, w_i8_local: jax.Array,
             lambda a: jax.lax.ppermute(a, axis_name, perm),
             lambda a: a, acc)
 
-    acc = jnp.zeros((M_loc, N), jnp.int32)
+    acc = jnp.zeros((M_loc, N), jnp.float32 if any_ovp else jnp.int32)
     return jax.lax.fori_loop(0, P, step, acc)

@@ -55,7 +55,8 @@ from ..ops.snap import snap_concat
 from ..parallel.collective_matmul import (matmul_reducescatter_i8,
                                           ring_allgather_matmul_i8)
 from ..kernels.stacked import stacked_quant_matmul, stacked_quant_matmul_aovp
-from ..models.transformer_lm import LMConfig, alibi_slopes
+from ..models.transformer_lm import (LMConfig, alibi_slopes,
+                                     conv1d_site_names)
 from ..numerics import codebooks as cb
 from ..ops.snap import snap_codes, snap_value
 
@@ -250,22 +251,37 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
             if cfg.weight_mode == "w4":
                 qs = (q["attn"][site]["weight_q"] if parent
                       else q[site]["weight_q"])
+                # GPT-2 Conv1D sites: the reference calibrates per-IN-
+                # channel with OVP pairs along out (olive quant_modules
+                # .py:358-387); the per-K scale cannot hoist past the
+                # int8 dot, so these sites store it as "kscale" and serve
+                # through the exact dequantized-weight fallback in
+                # _site_matmul_nobias (accuracy-exact, not int8-stream).
+                c1d = site in conv1d_site_names(cfg.lm)
+                axis, p_axis = (0, 1) if c1d else (1, 0)
+                skey = "kscale" if c1d else "oscale"
                 if site_ovp[site]:
                     # OliVe OVP weights: abfloat outliers exceed int8, so
                     # the site uses the sign-offset encoding decoded by
                     # two int8 dots (kernels/qmatmul.py OVP section)
-                    w_i8, oscale = quantize_weights_ovp_i8(
+                    w_i8, wscale = quantize_weights_ovp_i8(
                         jnp.asarray(kernel), jnp.asarray(qs.grid),
                         jnp.asarray(qs.outliers), jnp.asarray(qs.alpha),
-                        pair_axis=0)
-                    entry.update(w_i8=w_i8, oscale=oscale,
-                                 ovp=jnp.zeros((), jnp.int32))
+                        pair_axis=p_axis, axis=axis)
+                    entry.update({"w_i8": w_i8, skey: wscale,
+                                  "ovp": jnp.zeros((), jnp.int32)})
                 else:
-                    w_i8, oscale = quantize_weights_w4_i8(
+                    w_i8, wscale = quantize_weights_w4_i8(
                         jnp.asarray(kernel), jnp.asarray(qs.grid),
-                        jnp.asarray(qs.alpha))
-                    entry.update(w_i8=w_i8, oscale=oscale)
+                        jnp.asarray(qs.alpha), axis=axis)
+                    entry.update({"w_i8": w_i8, skey: wscale})
             elif cfg.weight_mode == "w4pack":
+                if site in conv1d_site_names(cfg.lm):
+                    raise ValueError(
+                        "w4pack assumes per-out-channel scales; GPT-2 "
+                        "conv1d-semantics states (per-in-channel, olive "
+                        "quant_modules.py:358-387) serve exactly under "
+                        "weight_mode='w4'")
                 qs = (q["attn"][site]["weight_q"] if parent
                       else q[site]["weight_q"])
                 if bool(np.any(np.asarray(qs.outliers))):
@@ -446,6 +462,26 @@ def _site_matmul_nobias(cfg: EngineConfig, x2d: jax.Array,
     if stk is not None:
         return _stacked_matmul(cfg, x2d, stk, l)
     if cfg.weight_mode == "w4":
+        if "kscale" in site:
+            # conv1d-semantics site (GPT-2): per-IN-channel weight scale
+            # cannot hoist past an int8 dot, so serve via the exact
+            # dequantized weight — the same product order as fake-quant
+            # (apply_quant scales the snapped tensor by the per-channel
+            # scale, then dots), so logits match bit-for-bit in f32.
+            if cfg.act_bits and "a_out" in site:
+                x2d = quantize_activation_ovp(x2d, site["a_grid"],
+                                              site["a_out"],
+                                              site["a_alpha"])
+            elif cfg.act_bits and "a_grid" in site:
+                x2d = quantize_activation(x2d, site["a_grid"],
+                                          site["a_alpha"])
+            if "ovp" in site:
+                wv = ovp_decode_values(site["w_i8"]).astype(jnp.float32)
+            else:
+                wv = site["w_i8"].astype(jnp.float32)
+            wv = wv * site["kscale"][:, None]
+            return jnp.dot(x2d.astype(jnp.float32), wv,
+                           preferred_element_type=jnp.float32)
         if cfg.act_bits and "a_q" in site:
             # snap activations straight into the int8 codebook domain
             # (linear rescale preserves nearest/ties) -> int8 MXU matmul.
@@ -675,36 +711,76 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
     M = B * T
     site_names = (("qkv",) if c.fused_qkv else ("q", "k", "v")) + (
         "out", "fc_in", "fc_out")
+    def _sp_site_ok(s):
+        """Site servable by the quantized rings: plain int8-exact grids
+        OR full-OliVe OVP (sign-offset activation tables present; OVP
+        weights ride the same encoding). conv1d-semantics sites (per-K
+        "kscale") are excluded — their scale can't hoist past the dot."""
+        site = ep["layers"][s]
+        if "w_i8" not in site or "oscale" not in site:
+            return False
+        if "a_out" in site:
+            return "aovp_enc" in site
+        return "a_q" in site
+
     sp = (cfg.sp_prefill and cfg.tp_axis is not None and cfg.tp_size > 1
           and stk is None and T > 1          # prefill only: decode keeps
           and cfg.weight_mode == "w4" and cfg.act_bits   # the psum path
           and M % cfg.tp_size == 0 and M >= cfg.tp_size
-          and all("a_q" in ep["layers"][s] and "w_i8" in ep["layers"][s]
-                  and "ovp" not in ep["layers"][s]
-                  for s in site_names))
+          and all(_sp_site_ok(s) for s in site_names))
     if sp:
+        from ..ops.ovp import victim_mask
         tp_i = jax.lax.axis_index(cfg.tp_axis)
         M_loc = M // cfg.tp_size
 
-        def snap_i8(v2d, site):
-            return _midpoint_snap(
+        def sp_quant(v2d, site):
+            """Activation -> int8 codes + (is_ovp, integer-domain scale).
+
+            Plain sites snap onto the int8 codebook (per-tensor scale, so
+            every device snaps identically). Full-OliVe sites snap onto
+            the 32-entry grid||outlier concat, zero OVP victims along K
+            (pair boundaries never straddle K shards: K_loc is even) and
+            encode sign-offset bytes — the XLA mirror of the aovp stacked
+            kernel's in-kernel encode (kernels/stacked.py:_aovp_kernel),
+            using the same per-layer mids/ties/enc tables."""
+            if "aovp_enc" in site:
+                prescale = (site["a_alpha"]
+                            / jnp.max(site["a_grid"])).astype(jnp.float32)
+                xs_v = v2d.astype(jnp.float32) / prescale
+                cxf = jnp.full(xs_v.shape, site["aovp_enc"][0],
+                               jnp.float32)
+                for j in range(site["aovp_mids"].shape[0]):
+                    m = site["aovp_mids"][j]
+                    t = site["aovp_ties"][j]
+                    take = (xs_v > m) | ((xs_v == m) & (t > 0))
+                    cxf = jnp.where(take, site["aovp_enc"][j + 1], cxf)
+                vm = victim_mask(jnp.abs(cxf) > 64.0, pair_axis=-1)
+                cxf = jnp.where(vm, 0.0, cxf)
+                return (cxf.astype(jnp.int8), True,
+                        prescale * site["aovp_unit"])
+            xq = _midpoint_snap(
                 v2d.astype(jnp.float32) / site["a_scale"],
                 site["a_q"].astype(jnp.float32)).astype(jnp.int8)
+            return xq, False, site["a_scale"]
 
         def col_sp(h_loc, site):
             """(M_loc, K) seq shard -> (M, N_loc) full rows, local cols."""
-            acc = ring_allgather_matmul_i8(snap_i8(h_loc, site),
-                                           site["w_i8"], cfg.tp_axis)
+            xq, a_ovp, ascale = sp_quant(h_loc, site)
+            acc = ring_allgather_matmul_i8(xq, site["w_i8"], cfg.tp_axis,
+                                           w_ovp="ovp" in site,
+                                           a_ovp=a_ovp)
             y = (acc.astype(jnp.float32)
-                 * (site["a_scale"] * site["oscale"])[None, :])
+                 * (ascale * site["oscale"])[None, :])
             return (y + site["bias"]).astype(cfg.dtype)
 
         def row_sp(a_full, site):
             """(M, K_loc) full rows, local K -> (M_loc, N) seq shard."""
-            acc = matmul_reducescatter_i8(snap_i8(a_full, site),
-                                          site["w_i8"], cfg.tp_axis)
+            xq, a_ovp, ascale = sp_quant(a_full, site)
+            acc = matmul_reducescatter_i8(xq, site["w_i8"], cfg.tp_axis,
+                                          w_ovp="ovp" in site,
+                                          a_ovp=a_ovp)
             y = (acc.astype(jnp.float32)
-                 * (site["a_scale"] * site["oscale"])[None, :])
+                 * (ascale * site["oscale"])[None, :])
             return (y + site["bias"]).astype(cfg.dtype)
 
         def layer_sp(carry, scanned):

@@ -68,12 +68,14 @@ def _site_specs(site: str, col: bool) -> Dict[str, P]:
         return {"kernel": P(None, None, "tp"), "w_i8": P(None, None, "tp"),
                 "packed": P(None, None, "tp"), "scale": P(None, "tp"),
                 "oscale": P(None, "tp"), "bias": P(None, "tp"),
+                "kscale": P(None, None),     # conv1d semantics: per-IN
                 "grid": P(), "a_grid": P(), "a_alpha": P(), "a_q": P(),
                 "a_scale": P()}
     # row parallel: input channels sharded; outputs full (pre-psum)
     return {"kernel": P(None, "tp", None), "w_i8": P(None, "tp", None),
             "packed": P(None, "tp", None), "scale": P(None, None),
             "oscale": P(None, None), "bias": P(None, None),
+            "kscale": P(None, "tp"),         # per-IN scale shards with K
             "grid": P(), "a_grid": P(), "a_alpha": P(), "a_q": P(),
             "a_scale": P()}
 
@@ -149,7 +151,7 @@ def shard_engine_params(ep: Dict, cfg: eng.EngineConfig,
 
     def place(leaf, spec):
         spec = P(*spec[:getattr(leaf, "ndim", 0)])
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return _put_global(leaf, mesh, spec)
 
     def walk(node, spec_node):
         if isinstance(node, dict):
@@ -166,10 +168,26 @@ def cache_spec() -> P:
     return P(None, "dp", "tp")
 
 
+def _put_global(leaf, mesh: Mesh, spec: P):
+    """device_put with TP/DP shardings, multi-process safe.
+
+    Under a multi-host mesh (jax.distributed, parallel/distributed.py)
+    plain device_put cannot target non-addressable devices; the leaf is
+    then treated as this HOST'S LOCAL piece of the global array (the
+    per-host shard along process-spanning mesh dims — for tp-only specs,
+    where tp is host-local ICI, local == global)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(leaf), mesh, spec)
+    return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+
 def shard_cache(kv, mesh: Mesh):
+    """Place a stacked cache with (L, B->dp, H->tp) shardings. Multi-host:
+    pass the cache built for the LOCAL batch (B_local = B / n_hosts)."""
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            x, NamedSharding(mesh, P(*cache_spec()[:x.ndim]))), kv)
+        lambda x: _put_global(x, mesh, P(*cache_spec()[:x.ndim])), kv)
 
 
 def make_sharded_forward(cfg: eng.EngineConfig, mesh: Mesh):

@@ -31,4 +31,7 @@ def test_two_process_dryrun():
     out = p.stdout + p.stderr
     assert "MULTIHOST DRYRUN PASSED" in out, out[-2000:]
     assert out.count("MULTIHOST OK") == 2, out[-2000:]
+    # the TP-sharded serving engine (prefill + decode) also ran across
+    # the 2 processes and matched the single-process logits
+    assert out.count("SERVING OK") == 2, out[-2000:]
     assert p.returncode == 0

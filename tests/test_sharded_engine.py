@@ -183,12 +183,18 @@ def test_int8_lm_head_tp_matches_single():
 # Sequence-parallel prefill with quantized collective matmuls (r4)
 # ---------------------------------------------------------------------------
 
-def _setup_prefill(T=64, fused=True):
+def _setup_prefill(T=64, fused=True, olive=False):
     cfg = LMConfig(vocab_size=96, d_model=64, n_layers=2, n_heads=4,
                    d_ff=128, max_seq=96, positions="learned",
                    activation="gelu_new", fused_qkv=fused)
-    qcfg = QuantConfig(mode="flint", family="ant",
-                       w_low=100, w_up=101, a_low=100, a_up=101)
+    if olive:
+        # 3-sigma calibration on gaussian weights/activations guarantees
+        # real OVP outliers at every site
+        qcfg = QuantConfig(mode="ant-int-flint", family="olive",
+                           w_low=100, w_up=101, a_low=100, a_up=101)
+    else:
+        qcfg = QuantConfig(mode="flint", family="ant",
+                           w_low=100, w_up=101, a_low=100, a_up=101)
     model = TransformerLM(cfg, qcfg)
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, T)))
@@ -198,23 +204,34 @@ def _setup_prefill(T=64, fused=True):
                             kv_int8=True, max_seq=96, dtype=jnp.float32,
                             interpret=True)
     ep = eng.build_engine_params(ecfg, variables["params"], upd["quant"])
+    if olive:
+        sites = ("qkv", "out", "fc_in", "fc_out") if fused else (
+            "q", "k", "v", "out", "fc_in", "fc_out")
+        assert any("ovp" in ep["layers"][s] for s in sites)
+        assert any("aovp_enc" in ep["layers"][s] for s in sites)
     return ecfg, ep, ids
 
 
-@pytest.mark.parametrize("fused", [True, False])
-def test_sp_prefill_matches_single(fused):
+@pytest.mark.parametrize("fused,olive", [(True, False), (False, False),
+                                         (True, True), (False, True)])
+def test_sp_prefill_matches_single(fused, olive):
     """Prefill at M=128 > stacked_max_m takes the sequence-parallel path
-    (quantized AG/RS rings): logits must match the single-device engine."""
-    ecfg, ep, ids = _setup_prefill(fused=fused)
+    (quantized AG/RS rings): logits must match the single-device engine.
+    olive=True runs the FULL OliVe flagship config — OVP weights and OVP
+    activations — through the dual/quad-dot ring forms (r5: the sp gate
+    previously excluded OVP sites)."""
+    ecfg, ep, ids = _setup_prefill(fused=fused, olive=olive)
     got, want, _ = _run_pair(ecfg, ep, ids, 1, 4)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_sp_prefill_hlo_uses_rings_not_allreduce():
+@pytest.mark.parametrize("olive", [False, True])
+def test_sp_prefill_hlo_uses_rings_not_allreduce(olive):
     """The sp prefill's compiled HLO must contain collective-permutes
     (the rings) and NO all-reduce: the psums are gone, replaced by the
-    overlapped quantized collectives."""
-    ecfg, ep, ids = _setup_prefill()
+    overlapped quantized collectives — for the full-OliVe OVP config
+    too."""
+    ecfg, ep, ids = _setup_prefill(olive=olive)
     mesh = make_mesh((1, 4), devices=jax.devices("cpu")[:4])
     tcfg = sh.tp_engine_config(ecfg, mesh)
     eps = sh.shard_engine_params(ep, tcfg, mesh)

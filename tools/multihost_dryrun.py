@@ -102,6 +102,53 @@ def worker(args) -> None:
     from jax.experimental import multihost_utils
     loss0 = float(multihost_utils.broadcast_one_to_all(jnp.asarray(loss)))
     assert abs(loss - loss0) < 1e-6, (loss, loss0)
+
+    # --- serving step across processes (VERDICT r4 #5): the TP-sharded
+    # engine runs one prefill + one decode step over the SAME hybrid
+    # mesh — batch dp-sharded across hosts, heads tp-sharded host-local
+    # — and the gathered logits must match the single-process engine.
+    from ant_quantization_tpu.serve import engine as E
+    from ant_quantization_tpu.serve import sharded as shd
+
+    ecfg = E.EngineConfig(lm=cfg, weight_mode="w4", act_bits=4,
+                          kv_int8=True, max_seq=32, dtype=jnp.float32,
+                          interpret=True)
+    tcfg = shd.tp_engine_config(ecfg, mesh)
+    ep = E.build_engine_params(ecfg, variables["params"],
+                               variables["quant"])
+    B_loc, T_s = 2, 8
+    B_s = B_loc * nproc
+    sids = np.random.default_rng(1).integers(0, cfg.vocab_size, (B_s, T_s))
+
+    # single-process reference: full batch through the unsharded engine
+    kv_ref = E.init_cache(ecfg, B_s)
+    ref1, kv_ref = E.forward(ecfg, ep, jnp.asarray(sids), kv_ref, 0)
+    ref_tok = jnp.argmax(ref1[:, -1:], axis=-1)
+    ref2, _ = E.forward(ecfg, ep, ref_tok, kv_ref, T_s)
+
+    eps = shd.shard_engine_params(ep, tcfg, mesh)
+    gids = dist.host_batch_to_global(
+        jnp.asarray(sids[pid * B_loc:(pid + 1) * B_loc]), mesh,
+        P(("dp",), None))
+    kvs = shd.shard_cache(E.init_cache(ecfg, B_loc), mesh)
+    pos0 = dist.host_batch_to_global(
+        jnp.zeros((B_loc,), jnp.int32), mesh, P(("dp",)))
+    posT = dist.host_batch_to_global(
+        jnp.full((B_loc,), T_s, jnp.int32), mesh, P(("dp",)))
+    fwd = shd.make_sharded_forward(tcfg, mesh)
+    with mesh:
+        log1, kvs = fwd(eps, gids, kvs, pos0)
+        tok = jnp.argmax(log1[:, -1:], axis=-1)
+        log2, kvs = fwd(eps, tok, kvs, posT)
+    loc2 = multihost_utils.global_array_to_host_local_array(
+        log2, mesh, P(("dp",), None, None))
+    np.testing.assert_allclose(
+        np.asarray(loc2),
+        np.asarray(ref2)[pid * B_loc:(pid + 1) * B_loc],
+        rtol=2e-4, atol=2e-4)
+    print(f"[{pid}] SERVING OK decode logits match single-process",
+          flush=True)
+
     dist.sync_global_devices("dryrun_done")
     print(f"[{pid}] MULTIHOST OK loss={loss:.6f}", flush=True)
 
