@@ -32,7 +32,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 __all__ = ["flint_codewords", "flint_decode_table", "ovp_pack",
-           "ovp_unpack"]
+           "ovp_unpack", "pack_w4_stack", "unpack_w4_stack"]
 
 
 # ---------------------------------------------------------------------------
@@ -175,3 +175,83 @@ def ovp_unpack(packed: np.ndarray, sideband: np.ndarray,
     mask[0::2] = even_o
     mask[1::2] = odd_o
     return normal, outlier, mask
+
+
+# ---------------------------------------------------------------------------
+# Engine checkpoint codec: stacked w4 weight stores at true 4-bit density
+# ---------------------------------------------------------------------------
+
+def pack_w4_stack(w_i8: np.ndarray, ovp: bool,
+                  pair_axis: int = 0) -> Dict[str, np.ndarray]:
+    """Pack a stacked (L, K, N) "w4" weight store (int8 codebook values,
+    or sign-offset OVP bytes) into true 4-bit density for on-disk engine
+    checkpoints (tools/serve_cli.py --save_engine): per-layer 16-entry
+    value tables + two codes per byte via :func:`ovp_pack` — ~0.56x the
+    int8 bytes (codes/2 + sideband/8 + tables).
+
+    ``ovp`` marks sign-offset stores (serve/engine.py OVP sites): bytes
+    with \\|v\\| > 64 are abfloat outliers and index a second per-layer
+    table; their zeroed victims ride as normal code of value 0. The OVP
+    pair guarantee (at most one outlier per aligned pair) holds along
+    ``pair_axis`` of (K, N) — quantize_weights_ovp_i8's axis — so each
+    layer is flattened with that axis minor before pairing.
+    """
+    L, K, N = w_i8.shape
+    packed, side, ntab, otab = [], [], [], []
+    any_outlier = False
+    for l in range(L):
+        w = w_i8[l]
+        if pair_axis == 0:
+            w = w.T                       # pairs along K -> flat-adjacent
+        flat = np.ascontiguousarray(w).ravel()
+        mask = (np.abs(flat.astype(np.int32)) > 64) if ovp \
+            else np.zeros(flat.shape, bool)
+        nv = np.unique(flat[~mask])
+        ov = np.unique(flat[mask]) if mask.any() else np.zeros(0, np.int8)
+        assert nv.size <= 16 and ov.size <= 16, (nv.size, ov.size)
+        ncodes = np.searchsorted(nv, flat).astype(np.uint8)
+        ocodes = (np.searchsorted(ov, flat).clip(0, max(ov.size - 1, 0))
+                  .astype(np.uint8))
+        p, s = ovp_pack(np.where(mask, 0, ncodes), ocodes, mask)
+        packed.append(p)
+        side.append(s)
+        any_outlier = any_outlier or bool(mask.any())
+        ntab.append(np.pad(nv.astype(np.int8), (0, 16 - nv.size),
+                           mode="edge" if nv.size else "constant"))
+        otab.append(np.pad(ov.astype(np.int8), (0, 16 - ov.size))
+                    if ov.size else np.zeros(16, np.int8))
+    # outlier-free stacks (plain ANT sites) drop the 1-bit/element
+    # sideband entirely: 0.50x instead of 0.625x (the key is simply
+    # absent — zero-size arrays break checkpoint writers)
+    out = {"w4_packed": np.stack(packed),
+           "w4_ntab": np.stack(ntab), "w4_otab": np.stack(otab),
+           "w4_shape": np.asarray([L, K, N, pair_axis], np.int32)}
+    if any_outlier:
+        out["w4_side"] = np.stack(side)
+    return out
+
+
+def unpack_w4_stack(d: Dict[str, np.ndarray]) -> np.ndarray:
+    """Inverse of :func:`pack_w4_stack` -> the exact (L, K, N) int8."""
+    L, K, N, pair_axis = (int(x) for x in np.asarray(d["w4_shape"]))
+    out = np.empty((L, K, N), np.int8)
+    if "w4_side" in d:
+        side = np.asarray(d["w4_side"])
+    else:                                      # outlier-free: no sideband
+        side = np.zeros((L, -(-K * N // 8)), np.uint8)
+    for l in range(L):
+        ncodes, ocodes, mask = ovp_unpack(
+            np.asarray(d["w4_packed"][l]), side[l], K * N)
+        vals = np.asarray(d["w4_ntab"][l])[ncodes]
+        if mask.any():
+            vals = np.where(mask, np.asarray(d["w4_otab"][l])[ocodes],
+                            vals)
+            # the outlier's pair partner is its zeroed victim (sign-offset
+            # stores it as byte 0); ovp_unpack returns code 0 for it,
+            # which would otherwise decode to ntab[0]
+            m2 = mask.reshape(-1, 2)
+            victim = (m2.any(axis=1)[:, None] & ~m2).ravel()
+            vals = np.where(victim, 0, vals)
+        w = vals.astype(np.int8)
+        out[l] = w.reshape(N, K).T if pair_axis == 0 else w.reshape(K, N)
+    return out

@@ -610,13 +610,20 @@ def _attention_stacked(cfg: EngineConfig, q, kv: QuantKV, l, pos0, T,
 
     The cache lives in the layer-scan *carry*; scanning over it instead
     costs two ~full-layer copies per layer (r4 profile: ~3.8 ms of a
-    15.3 ms OPT-6.7B decode step). Decode reads go through the
-    layer-indexed Pallas kernel (scalar-prefetch ``l`` in the BlockSpec
-    index_map — no per-layer slice materializes); the prefill fallback
-    slices layer l once, which is amortized over the prefill tokens."""
+    15.3 ms OPT-6.7B decode step). Reads go through the layer-indexed
+    Pallas kernel (scalar-prefetch ``l`` in the BlockSpec index_map — no
+    per-layer slice materializes) for decode AND prefill: the prefill
+    einsum fallback dequantizes the cache (f32 scores over the padded S
+    — the r5 prefill trace measured it at ~33 ms of a 154 ms OPT-6.7B
+    bs=4 T=512 prefill, 23%, vs the matmuls' 92%-of-floor). The fallback
+    remains for T*S too large for a one-head VMEM tile (long-context
+    prefill; the wrapper's budget math in kernels/attention.py)."""
     c = cfg.lm
     qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
-    if cfg.kv_int8 and T <= 16:
+    S_tot = kv.k.shape[-2] * (kv.k.shape[-1] // c.head_dim)
+    fits = (2 * 2 * S_tot * c.head_dim + 8 * T * c.head_dim
+            + 4 * T * S_tot) <= 6 * 2 ** 20
+    if cfg.kv_int8 and fits:
         # the cache rides in its NATIVE 5-D layout — flattening to 2-D
         # is only layout-free for D = 128 (int8 lanes); at head_dim 64
         # (GPT-2) it repacked the whole cache every step

@@ -28,6 +28,14 @@ def test_serve_and_engine_checkpoint_roundtrip(tmp_path):
     assert stats1["n_requests"] == 2 and stats1["new_tokens"] == 8
     assert os.path.exists(os.path.join(ck, "engine.json"))
 
+    # the w4 stacks are stored at true 4-bit density (bitcodec pair
+    # packing, exact): codes/2 (+ the 1-bit/element outlier sideband on
+    # OVP sites) + per-layer value tables — 0.50-0.625x the int8 store
+    meta = json.load(open(os.path.join(ck, "engine.json")))
+    assert meta.get("w4_codec") == 1
+    assert meta["w4_bytes_i8"] > 10 ** 7        # the real weight stacks
+    assert meta["w4_bytes_packed"] < 0.66 * meta["w4_bytes_i8"], meta
+
     # restored engine generates the identical tokens, no recalibration
     comps2, stats2 = _run(base + ["--load_engine", ck])
     assert stats2["n_requests"] == 2

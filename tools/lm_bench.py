@@ -165,6 +165,62 @@ def bench_decode(cfg: eng.EngineConfig, batch, prefill, decode_steps,
     return tps
 
 
+# v5e TensorCore peaks (public spec): bf16 matmul 197 TFLOP/s, int8
+# 394 TOP/s — the MFU denominators for the prefill benchmark.
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
+
+
+def matmul_flops(c, m: int) -> float:
+    """FLOPs of one forward's matmul sites at M tokens (2*M*K*N each):
+    attention projections + MLP + lm_head; the attention score/output
+    einsums add <1% at T=512 and are excluded (so MFU is conservative)."""
+    per_layer = 2 * m * (4 * c.d_model ** 2 + 2 * c.d_model * c.d_ff)
+    head = 2 * m * c.vocab_size * c.d_model
+    return c.n_layers * per_layer + head
+
+
+def bench_prefill(cfg: eng.EngineConfig, batch, prefill, label,
+                  reps=4, windows=3) -> float:
+    """Prefill throughput: seconds per full B x T prefill forward.
+
+    ``reps`` prefills run inside ONE dispatch (lax.scan; the mean-logit
+    carry keeps every iteration and the whole vocab live against DCE)
+    so the ~26 ms remote-dispatch RTT amortizes; the median of
+    ``windows`` dispatches is reported."""
+    print(f"# {label}: building params", file=sys.stderr, flush=True)
+    ep = rand_engine_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prefill), 0,
+                             cfg.lm.vocab_size)
+    kv = eng.init_cache(cfg, batch)
+
+    @jax.jit
+    def prefill_reps(ep, ids, kv):
+        def body(acc, i):
+            # (ids + i) % vocab: a REAL per-iteration data dependence —
+            # `ids + 0*i` gets algebraically simplified to a loop
+            # invariant and XLA then hoists the whole forward out of the
+            # scan (measured: "165% MFU")
+            ids_i = (ids + i) % cfg.lm.vocab_size
+            logits, _ = eng.forward(cfg, ep, ids_i, kv, 0)
+            return acc + logits.mean(), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jnp.arange(reps))
+        return acc
+
+    _sync(prefill_reps(ep, ids, kv))      # compile + warm
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        _sync(prefill_reps(ep, ids, kv))
+        times.append((time.perf_counter() - t0) / reps)
+    dt = float(np.median(times))
+    tps = batch * prefill / dt
+    print(f"# {label}: {dt * 1e3:.1f} ms/prefill, {tps:.0f} tokens/s",
+          file=sys.stderr, flush=True)
+    return dt
+
+
 def bf16_bytes(c, batch, max_seq):
     qkv = 3 * c.d_model ** 2
     per_layer = (qkv + c.d_model ** 2 + 2 * c.d_model * c.d_ff) * 2
@@ -182,6 +238,12 @@ def main(argv=None):
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--decode", type=int, default=64)
     ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--mode", choices=("decode", "prefill"),
+                    default="decode",
+                    help="prefill: compute-bound side — full-forward "
+                         "tokens/s and int8-MXU MFU at full depth, plus "
+                         "a depth-matched bf16 comparison (VERDICT r4 "
+                         "#4; PERF.md prefill section)")
     args = ap.parse_args(argv)
 
     lm = FAMILIES[args.family]()
@@ -190,6 +252,59 @@ def main(argv=None):
     qcfg = eng.EngineConfig(lm=lm, weight_mode="w4", act_bits=4,
                             kv_int8=True, max_seq=max_seq,
                             lm_head_int8=True)
+
+    if args.mode == "prefill":
+        m = args.batch * args.prefill
+        dt_q = bench_prefill(qcfg, args.batch, args.prefill,
+                             f"{args.family} W4A4 prefill {lm.n_layers}L")
+        out = {"family": args.family, "mode": "prefill",
+               "n_layers": lm.n_layers, "batch": args.batch,
+               "prefill": args.prefill,
+               "tokens_per_s": round(args.batch * args.prefill / dt_q, 1),
+               "ms_per_prefill": round(dt_q * 1e3, 1),
+               "int8_mfu_pct": round(
+                   matmul_flops(lm, m) / dt_q / PEAK_INT8 * 100, 1)}
+        if not args.no_baseline:
+            # depth-matched bf16 comparison at the largest depth that
+            # fits (bf16 prefill doubles the weight footprint via the
+            # scanned-stack HLO temp, see bf16_bytes)
+            # prefill holds bigger HLO temps than decode (per-layer
+            # attention scores B*H*T^2 f32, the full f32 logits, the
+            # reps-scan bookkeeping): budget an extra ~3 GB beyond the
+            # decode estimate (bf16 14L compiled to 17.5 G on a 15.75 G
+            # chip with the plain decode estimate)
+            budget = float(os.environ.get("BENCH_HBM_BUDGET", 15e9)) - 3e9
+            d = lm.n_layers
+            while d > 1 and bf16_bytes(
+                    type(lm)(**{**lm.__dict__, "n_layers": d}),
+                    args.batch, max_seq) > budget:
+                d -= 1
+            lm_d = type(lm)(**{**lm.__dict__, "n_layers": d})
+            import gc
+            gc.collect()
+            dt_b = bench_prefill(
+                eng.EngineConfig(lm=lm_d, weight_mode="bf16", act_bits=0,
+                                 kv_int8=False, max_seq=max_seq),
+                args.batch, args.prefill,
+                f"{args.family} bf16 prefill {d}L")
+            gc.collect()
+            if d == lm.n_layers:
+                dt_qd = dt_q
+            else:
+                dt_qd = bench_prefill(
+                    eng.EngineConfig(lm=lm_d, weight_mode="w4",
+                                     act_bits=4, kv_int8=True,
+                                     max_seq=max_seq, lm_head_int8=True),
+                    args.batch, args.prefill,
+                    f"{args.family} W4A4 prefill {d}L (depth-matched)")
+            out.update(
+                bf16_layers=d,
+                bf16_ms_per_prefill=round(dt_b * 1e3, 1),
+                bf16_mfu_pct=round(
+                    matmul_flops(lm_d, m) / dt_b / PEAK_BF16 * 100, 1),
+                vs_bf16_depth_matched=round(dt_b / dt_qd, 2))
+        print(json.dumps(out))
+        return
     tps_q = bench_decode(qcfg, args.batch, args.prefill, args.decode,
                          f"{args.family} W4A4+int8KV {lm.n_layers}L")
     out = {"family": args.family, "n_layers": lm.n_layers,

@@ -46,7 +46,9 @@ def _quant_cfg(args, enabled: bool) -> QuantConfig:
     lb, ub = (100, 101) if args.fast_calib else (args.low, args.up)
     return QuantConfig(mode=args.mode, family="ant",
                        wbit=args.wbit, abit=args.abit,
-                       w_low=lb, w_up=ub, a_low=lb, a_up=ub)
+                       w_low=lb, w_up=ub, a_low=lb, a_up=ub,
+                       quantize_input=not getattr(args, "weights_only",
+                                                  False))
 
 
 def _build(args, enabled: bool):
@@ -163,6 +165,9 @@ def main(argv=None):
                    action="store_false",
                    help="full MSE alpha scan during setup (slow, identical "
                         "steady-state step)")
+    p.add_argument("--weights-only", action="store_true",
+                   help="quantize weights only (disable_input_quantization"
+                        " analog) - splits the overhead attribution")
     p.add_argument("--inner", type=int, default=8,
                    help="train steps per jitted scan block")
     p.add_argument("--reps", type=int, default=3)

@@ -91,15 +91,44 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _codec_axes(cfg: eng.EngineConfig, site: str) -> int:
+    from ant_quantization_tpu.models.transformer_lm import conv1d_site_names
+    return 1 if site in conv1d_site_names(cfg.lm) else 0
+
+
 def save_engine(path: str, cfg: eng.EngineConfig, ep) -> None:
     from ant_quantization_tpu.harness.checkpoint import save_checkpoint
+    from ant_quantization_tpu.numerics.bitcodec import pack_w4_stack
     os.makedirs(path, exist_ok=True)
     lm = dataclasses.asdict(cfg.lm)
     lm["dtype"] = np.dtype(lm["dtype"]).name     # jnp dtype -> "float32"
+    lm["conv1d_sites"] = (list(lm["conv1d_sites"])
+                          if isinstance(lm["conv1d_sites"], tuple)
+                          else lm["conv1d_sites"])
     meta = {"lm": lm,
             "weight_mode": cfg.weight_mode, "act_bits": cfg.act_bits,
             "kv_int8": cfg.kv_int8, "max_seq": cfg.max_seq,
             "lm_head_int8": cfg.lm_head_int8}
+    if cfg.weight_mode == "w4":
+        # store the big int8 stacks at true 4-bit density (halves the
+        # artifact bytes; numerics/bitcodec.py pair packing, exact)
+        meta["w4_codec"] = 1
+        i8_bytes = packed_bytes = 0
+        ep = dict(ep)
+        layers = {}
+        for name, site in ep["layers"].items():
+            if isinstance(site, dict) and "w_i8" in site:
+                site = dict(site)
+                w = np.asarray(site.pop("w_i8"))
+                packed = pack_w4_stack(w, ovp="ovp" in site,
+                                       pair_axis=_codec_axes(cfg, name))
+                site.update(packed)
+                i8_bytes += w.nbytes
+                packed_bytes += sum(v.nbytes for v in packed.values())
+            layers[name] = site
+        ep["layers"] = layers
+        meta["w4_bytes_i8"] = i8_bytes
+        meta["w4_bytes_packed"] = packed_bytes
     with open(os.path.join(path, "engine.json"), "w") as f:
         json.dump(meta, f)
     save_checkpoint(os.path.join(path, "ep"), ep)
@@ -119,6 +148,18 @@ def load_engine(path: str):
                            max_seq=meta["max_seq"],
                            lm_head_int8=meta.get("lm_head_int8", False))
     ep = restore_checkpoint(os.path.join(path, "ep"))
+    if meta.get("w4_codec"):
+        from ant_quantization_tpu.numerics.bitcodec import unpack_w4_stack
+        layers = {}
+        for name, site in ep["layers"].items():
+            if isinstance(site, dict) and "w4_packed" in site:
+                site = dict(site)
+                packed = {k: site.pop(k) for k in
+                          ("w4_packed", "w4_side", "w4_ntab", "w4_otab",
+                           "w4_shape") if k in site}
+                site["w_i8"] = jnp.asarray(unpack_w4_stack(packed))
+            layers[name] = site
+        ep["layers"] = layers
     return cfg, ep
 
 
