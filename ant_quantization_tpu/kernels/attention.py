@@ -84,7 +84,10 @@ def _kernel(pos_ref, slope_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 def _head_chunk(H: int, S: int, D: int, T: int,
                 budget: int = 6 * 2**20) -> int:
     """Largest divisor of H whose per-step VMEM footprint (double-buffered
-    int8 K/V + f32 q/out/scores) fits the budget."""
+    int8 K/V + f32 q/out/scores) fits the budget. 6 MB is measured-best
+    at OPT-6.7B decode (hb=16, 2 grid steps/call): a 12 MB budget (hb=32,
+    one step) loses the DMA/compute double-buffer overlap — 11.73 vs
+    11.65 ms/step, r5)."""
     for hb in range(H, 0, -1):
         if H % hb:
             continue
