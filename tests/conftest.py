@@ -41,6 +41,7 @@ if not os.path.exists(os.path.join(_CSRC, "libtileopt.so")):
 TORCHDEP_FILES = {
     "test_bpe.py",              # transformers GPT2Tokenizer parity
     "test_cnn_models.py",
+    "test_olive_whole_model_oracle.py",
     "test_harness.py",
     "test_hf_parity.py",
     "test_inception.py",

@@ -210,3 +210,34 @@ def test_folded_append_dynamic_start():
         got = np.asarray(deqv[b, :, i:i + T]).transpose(1, 0, 2)
         np.testing.assert_allclose(got, np.asarray(v_new[b]),
                                    rtol=0.02, atol=0.02)
+
+
+def test_prefill_sized_kernel_matches_oracle():
+    """The engine now routes PREFILL through the fused kernel too
+    (serve/engine.py r5: the f32 dequant einsum cost 23% of a 154 ms
+    OPT prefill); lock the kernel at a prefill-shaped (T ~ S) call."""
+    B, H, T, S, D = 2, 2, 24, 32, 16
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.integers(-127, 128, (B, H, S, D)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (B, H, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (B, H, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (B, H, S)), jnp.float32)
+    p = jnp.zeros((B,), jnp.int32)
+    got = int8_kv_attention(q, k, v, ks, vs, p, out_dtype=jnp.float32,
+                            interpret=True)
+    want = attention_oracle(q, k, v, ks, vs, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_init_kv_rounds_odd_max_len_up_to_fold():
+    """An odd max_len no longer silently degrades to the flat (2x lane
+    padded) layout: init_kv rounds the allocation up to a fold multiple
+    (r4 advisor finding; the attention mask covers the tail)."""
+    c = init_kv(2, 33, 2, 32)            # f = 4; 33 -> 36
+    assert c.k.shape == (2, 2, 9, 4 * 32)
+    assert c.k_scale.shape == (2, 2, 4, 9)
+    c1 = init_kv(2, 33, 2, 128)          # f = 1; 33 stays
+    assert c1.k.shape == (2, 2, 33, 128)
+    assert c1.k_scale.shape == (2, 2, 1, 33)
