@@ -237,7 +237,19 @@ def main():
         stacked_block_k=int(os.environ.get("BENCH_BLOCK_K", "1024")))
     qstats = {}
     with maybe_trace(profile_dir_from_env()):
-        tps_q = _bench(qcfg, f"W4A4+int8KV {N_LAYERS}L", spread_out=qstats)
+        # one retry for transient remote-compile failures (observed: the
+        # tunnel's compile helper can 500 sporadically; a fresh attempt
+        # succeeds). Permanent errors (OOM etc.) still raise on try 2.
+        try:
+            tps_q = _bench(qcfg, f"W4A4+int8KV {N_LAYERS}L",
+                           spread_out=qstats)
+        except Exception as e:
+            print(f"# quantized bench attempt 1 failed "
+                  f"({type(e).__name__}); retrying once", file=sys.stderr,
+                  flush=True)
+            time.sleep(20)
+            tps_q = _bench(qcfg, f"W4A4+int8KV {N_LAYERS}L",
+                           spread_out=qstats)
     import gc
     gc.collect()        # free the quantized ep before the bf16 baseline
 
