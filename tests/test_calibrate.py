@@ -234,3 +234,39 @@ def test_olive_8bit_forces_int(rng):
     qs = np.asarray(q) / scale
     dist = np.abs(qs[..., None] - grid[None, None, :]).min(-1)
     assert float(dist.max()) < 1e-4
+
+
+def test_recalibration_pins_previous_adaptive_type():
+    """The reference never re-runs the adaptive type search on
+    recalibration: self.mode is overwritten with the CONCRETE chosen
+    type at first calibration, so after set_8_bit_layer_n resets
+    has_inited, only the alpha ladder re-runs (ant quant_modules.py:
+    479-484, olive :269-274). calibrate(prev_mode=...) must pin the
+    type even when the new batch would prefer the other candidate."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ant_quantization_tpu.calibrate.search import calibrate, mode_index
+    from ant_quantization_tpu.calibrate.spec import SiteConfig
+
+    cfg = SiteConfig(bit=4, is_input=True, is_signed=False,
+                     mode="ant-int-flint", family="olive",
+                     w_low=75, w_up=250, a_low=75, a_up=250, scan_step=2)
+    rng = np.random.default_rng(0)
+    # uniform-ish data prefers int; heavy-tailed prefers flint
+    x_uniform = jnp.asarray(rng.uniform(0, 1, (4, 64)), jnp.float32)
+    x_tailed = jnp.asarray(rng.normal(size=(4, 64)) ** 3, jnp.float32)
+
+    st_u = calibrate(x_uniform, cfg)
+    st_t = calibrate(x_tailed, cfg)
+    if int(st_u.mode_idx) == int(st_t.mode_idx):
+        import pytest
+        pytest.skip("both batches chose the same type; no flip to pin")
+
+    # recalibrating on the OTHER batch with prev_mode pinned keeps the
+    # original type (and only the alpha changes)
+    st_re = calibrate(x_tailed, cfg,
+                      prev_mode=jnp.asarray(st_u.mode_idx, jnp.int32))
+    assert int(st_re.mode_idx) == int(st_u.mode_idx)
+    # without the pin it flips
+    st_free = calibrate(x_tailed, cfg)
+    assert int(st_free.mode_idx) == int(st_t.mode_idx)
