@@ -161,6 +161,15 @@ def _lm_logits(top: Dict, x: jax.Array) -> jax.Array:
             * x_scale * top["wte_scale"][None, None, :])
 
 
+def _take_last(x: jax.Array, last_index) -> jax.Array:
+    """x (B, T, D) -> (B, 1, D) rows at per-sequence ``last_index``
+    (scalar or (B,) int) — the only positions a serving prefill's
+    lm_head needs (see forward's ``last_index``)."""
+    B = x.shape[0]
+    li = jnp.broadcast_to(jnp.asarray(last_index, jnp.int32), (B,))
+    return jnp.take_along_axis(x, li[:, None, None], axis=1)
+
+
 def quantize_activation(x: jax.Array, grid16: jax.Array,
                         alpha: jax.Array) -> jax.Array:
     """Per-tensor activation fake-quant for the serving path."""
@@ -638,12 +647,26 @@ def _attention_stacked(cfg: EngineConfig, q, kv: QuantKV, l, pos0, T,
 
 
 def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
-            kv: Tuple, pos0) -> Tuple[jax.Array, Tuple]:
+            kv: Tuple, pos0,
+            last_index=None) -> Tuple[jax.Array, Tuple]:
     """Shared prefill/decode forward: writes new K/V at pos0, attends over
     the full cache. kv is a stacked-over-layers QuantKV (leaves (L, ...)).
 
     ``pos0``: scalar fill position, or a (B,) vector of per-sequence
-    positions for continuous batching."""
+    positions for continuous batching.
+
+    ``last_index``: serving prefill only needs ONE next-token
+    distribution per sequence, but the default computes the lm_head over
+    every position — at OPT-6.7B bs=4 T=512 that is a 1.7-TFLOP matmul
+    plus a ~400 MB f32 logits write that the caller immediately slices
+    to (B, 1, V). Pass a scalar or (B,) per-sequence index (the LAST
+    REAL prompt position, e.g. ``prompt_len - 1`` for bucket-padded
+    prefills) and only that position's hidden state reaches
+    ln_f/lm_head: logits come back (B, 1, V). Exact — LayerNorm and the
+    head are per-position, so slice-then-compute equals compute-then-
+    slice. Under sequence-parallel prefill this also replaces the
+    (M, V) logits all-gather with a (M, D) hidden all-gather (~50x less
+    ICI traffic at OPT vocab)."""
     c = cfg.lm
     B, T = ids.shape
     pos_in = jnp.asarray(pos0)  # scalar keeps the fast contiguous KV write
@@ -817,6 +840,13 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
             (M_loc, c.d_model))
         (xs, kv), _ = jax.lax.scan(layer_sp, (xs, kv),
                                    (ep["layers"], jnp.arange(c.n_layers)))
+        if last_index is not None:
+            # gather the (M, D) hidden rows instead of (M, V) logits,
+            # then run the head on the B selected positions only
+            xf = jax.lax.all_gather(xs, cfg.tp_axis, axis=0, tiled=True)
+            xl = _take_last(xf.reshape(B, T, -1), last_index)
+            xl = _ln(xl, ep["top"]["ln_f"], c.ln_eps)
+            return _lm_logits(ep["top"], xl), kv
         xs = _ln(xs, ep["top"]["ln_f"], c.ln_eps)
         logits_loc = _lm_logits(ep["top"], xs[None])[0]      # (M_loc, V)
         logits = jax.lax.all_gather(logits_loc, cfg.tp_axis,
@@ -834,6 +864,8 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
                   for k, v in ep["layers"].items()}
     (x, kv), _ = jax.lax.scan(layer, (x, kv),
                               (lay_xs, jnp.arange(c.n_layers)))
+    if last_index is not None:
+        x = _take_last(x, last_index)
     x = _ln(x, ep["top"]["ln_f"], c.ln_eps)
     return _lm_logits(ep["top"], x), kv
 

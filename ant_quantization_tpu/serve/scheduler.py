@@ -94,8 +94,19 @@ class ContinuousBatcher:
         self._root_key = jax.random.PRNGKey(seed)
         self._tick = 0
         scfg = self.sampling
-        fwd = forward_fn or (lambda ep_, ids_, kv_, pos0_: eng.forward(
-            cfg, ep_, ids_, kv_, pos0_))
+        fwd = forward_fn or (lambda ep_, ids_, kv_, pos0_, **kw:
+                             eng.forward(cfg, ep_, ids_, kv_, pos0_, **kw))
+        # prefill only needs the last real prompt position's logits;
+        # forward_fns that take ``last_index`` (the engine's and
+        # make_sharded_forward's do) skip the padded-bucket lm_head
+        import inspect
+        try:
+            sig = inspect.signature(forward_fn or fwd)
+            _fwd_last = ("last_index" in sig.parameters or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()))
+        except (TypeError, ValueError):
+            _fwd_last = False
 
         self.kv = kv if kv is not None else eng.init_cache(cfg, batch_slots)
         self.lengths = np.zeros(batch_slots, np.int64)   # fill depth
@@ -117,12 +128,19 @@ class ContinuousBatcher:
             put = lambda leaf, upd: jax.lax.dynamic_update_slice_in_dim(
                 leaf, upd, slot, axis=1)
             kv_row = jax.tree_util.tree_map(take, kv)
-            logits, kv_row = fwd(ep, ids_1xTb, kv_row,
-                                 jnp.zeros((1,), jnp.int32))
+            if _fwd_last:
+                # the head runs only at the true last prompt position
+                # (logits (1, 1, V)) — the padded bucket tail never
+                # reaches the vocab matmul
+                logits, kv_row = fwd(ep, ids_1xTb, kv_row,
+                                     jnp.zeros((1,), jnp.int32),
+                                     last_index=prompt_len - 1)
+            else:
+                logits, kv_row = fwd(ep, ids_1xTb, kv_row,
+                                     jnp.zeros((1,), jnp.int32))
+                logits = logits[:, prompt_len - 1:prompt_len]
             kv = jax.tree_util.tree_map(put, kv, kv_row)
-            # next token reads the logits at the true last prompt position,
-            # not the padded tail
-            nxt = sample(logits[:, prompt_len - 1], scfg, key)
+            nxt = sample(logits[:, -1], scfg, key)
             return kv, nxt
 
         @partial(jax.jit, donate_argnums=(1,))

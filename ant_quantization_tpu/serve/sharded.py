@@ -211,19 +211,30 @@ def make_sharded_forward(cfg: eng.EngineConfig, mesh: Mesh):
         return P(*spec[:getattr(tree, "ndim", 0)])
 
     @jax.jit
-    def fwd(ep, ids, kv, pos0):
+    def fwd(ep, ids, kv, pos0, last_index=None):
         specs_ep = to_spec_tree(ep, p_specs)
         specs_kv = jax.tree_util.tree_map(
             lambda x: P(*kv_spec[:x.ndim]), kv)
+        # last_index rides as a (B,) batch-sharded vector (see
+        # eng.forward: serving prefill computes the lm_head only at
+        # these positions; logits come back (B, 1, V))
+        li = None if last_index is None else jnp.broadcast_to(
+            jnp.asarray(last_index, jnp.int32), (ids.shape[0],))
 
-        def local(ep_l, ids_l, kv_l, pos0_l):
-            return eng.forward(cfg, ep_l, ids_l, kv_l, pos0_l)
+        def local(ep_l, ids_l, kv_l, pos0_l, li_l=None):
+            return eng.forward(cfg, ep_l, ids_l, kv_l, pos0_l,
+                               last_index=li_l)
 
+        in_specs = [specs_ep, P("dp", None), specs_kv, P("dp")]
+        args = [ep, ids, kv, pos0]
+        if li is not None:
+            in_specs.append(P("dp"))
+            args.append(li)
         sm = shard_map(
             local, mesh=mesh,
-            in_specs=(specs_ep, P("dp", None), specs_kv, P("dp")),
+            in_specs=tuple(in_specs),
             out_specs=(P("dp", None, None), specs_kv),
             check_vma=False)
-        return sm(ep, ids, kv, pos0)
+        return sm(*args)
 
     return fwd

@@ -72,7 +72,11 @@ class SpeculativeDecoder:
         @jax.jit
         def prefill(tep, dep, kv_t, kv_d, ids, key):
             zero = jnp.zeros((ids.shape[0],), jnp.int32)
-            lt, kv_t = eng.forward(target_cfg, tep, ids, kv_t, zero)
+            # only the last prompt position's logits are sampled — the
+            # target skips the full-T lm_head (the draft's logits are
+            # unused and DCE'd either way)
+            lt, kv_t = eng.forward(target_cfg, tep, ids, kv_t, zero,
+                                   last_index=ids.shape[1] - 1)
             _, kv_d = eng.forward(draft_cfg, dep, ids, kv_d, zero)
             last = sample(lt[:, -1:], scfg, key)
             return kv_t, kv_d, last

@@ -231,3 +231,30 @@ def test_engine_folded_kv_matches_flat():
             tok = jnp.argmax(lg[:, -1:], axis=-1)
         outs.append(np.concatenate([t.reshape(2, -1) for t in toks], 1))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_engine_last_index_matches_full():
+    """forward(last_index=...) returns exactly the full forward's logits
+    rows at those positions (LN/head are per-position, so slice-then-
+    compute == compute-then-slice), with an identical KV cache — for the
+    f32 and the int8 lm_head (whose per-token scale makes each row
+    independent of the other positions in the call)."""
+    cfg = _tiny()
+    model, ids, variables = _setup(cfg)
+    for head_int8 in (False, True):
+        ecfg = eng.EngineConfig(lm=cfg, weight_mode="bf16", kv_int8=True,
+                                max_seq=32, dtype=jnp.float32,
+                                lm_head_int8=head_int8, interpret=True)
+        ep = eng.build_engine_params(ecfg, variables["params"])
+        full, kv_a = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+        li = jnp.asarray([ids.shape[1] - 1, 5])      # per-sequence index
+        got, kv_b = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0,
+                                last_index=li)
+        assert got.shape == (2, 1, cfg.vocab_size)
+        want = np.stack([np.asarray(full)[0, ids.shape[1] - 1],
+                         np.asarray(full)[1, 5]])[:, None]
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-6, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(kv_a),
+                        jax.tree_util.tree_leaves(kv_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

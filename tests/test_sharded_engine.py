@@ -278,3 +278,28 @@ def test_w4_ovp_tp_matches_single():
                for s in ("qkv", "out", "fc_in", "fc_out"))
     got, want, _ = _run_pair(ecfg, ep, ids, 1, 2)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_prefill_last_index_matches_single():
+    """Serving prefill under sequence parallelism: forward(last_index)
+    all-gathers the (M, D) hidden rows instead of (M, V) logits and runs
+    the head only at the selected positions — logits must equal the
+    single-device full forward's rows there."""
+    ecfg, ep, ids = _setup_prefill(fused=True, olive=False)
+    B, T = ids.shape
+    kv0 = eng.init_cache(ecfg, B)
+    want, _ = eng.forward(ecfg, ep, ids, kv0,
+                          jnp.zeros((B,), jnp.int32))
+    li = jnp.asarray([T - 1, T // 2], jnp.int32)
+
+    mesh = make_mesh((1, 4), devices=jax.devices("cpu")[:4])
+    tcfg = sh.tp_engine_config(ecfg, mesh)
+    eps = sh.shard_engine_params(ep, tcfg, mesh)
+    kv = sh.shard_cache(eng.init_cache(ecfg, B), mesh)
+    fwd = sh.make_sharded_forward(tcfg, mesh)
+    got, _ = fwd(eps, ids, kv, jnp.zeros((B,), jnp.int32), li)
+    assert got.shape == (B, 1, ecfg.lm.vocab_size)
+    want_rows = np.stack([np.asarray(want)[0, T - 1],
+                          np.asarray(want)[1, T // 2]])[:, None]
+    np.testing.assert_allclose(np.asarray(got), want_rows,
+                               rtol=2e-4, atol=2e-4)

@@ -171,28 +171,35 @@ PEAK_BF16 = 197e12
 PEAK_INT8 = 394e12
 
 
-def matmul_flops(c, m: int) -> float:
+def matmul_flops(c, m: int, head_m: int = None) -> float:
     """FLOPs of one forward's matmul sites at M tokens (2*M*K*N each):
     attention projections + MLP + lm_head; the attention score/output
-    einsums add <1% at T=512 and are excluded (so MFU is conservative)."""
+    einsums add <1% at T=512 and are excluded (so MFU is conservative).
+    ``head_m``: tokens reaching the lm_head (= batch B for a serving
+    prefill via forward's last_index; defaults to all M)."""
     per_layer = 2 * m * (4 * c.d_model ** 2 + 2 * c.d_model * c.d_ff)
-    head = 2 * m * c.vocab_size * c.d_model
+    head = 2 * (m if head_m is None else head_m) * c.vocab_size * c.d_model
     return c.n_layers * per_layer + head
 
 
 def bench_prefill(cfg: eng.EngineConfig, batch, prefill, label,
-                  reps=4, windows=3) -> float:
+                  reps=4, windows=3, last_only=False) -> float:
     """Prefill throughput: seconds per full B x T prefill forward.
 
     ``reps`` prefills run inside ONE dispatch (lax.scan; the mean-logit
     carry keeps every iteration and the whole vocab live against DCE)
     so the ~26 ms remote-dispatch RTT amortizes; the median of
-    ``windows`` dispatches is reported."""
+    ``windows`` dispatches is reported.
+
+    ``last_only``: the SERVING prefill (forward's last_index) — the
+    lm_head runs only at the last prompt position per sequence, which
+    is all a generate loop samples from."""
     print(f"# {label}: building params", file=sys.stderr, flush=True)
     ep = rand_engine_params(cfg, jax.random.PRNGKey(0))
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prefill), 0,
                              cfg.lm.vocab_size)
     kv = eng.init_cache(cfg, batch)
+    li = prefill - 1 if last_only else None
 
     @jax.jit
     def prefill_reps(ep, ids, kv):
@@ -202,7 +209,7 @@ def bench_prefill(cfg: eng.EngineConfig, batch, prefill, label,
             # invariant and XLA then hoists the whole forward out of the
             # scan (measured: "165% MFU")
             ids_i = (ids + i) % cfg.lm.vocab_size
-            logits, _ = eng.forward(cfg, ep, ids_i, kv, 0)
+            logits, _ = eng.forward(cfg, ep, ids_i, kv, 0, last_index=li)
             return acc + logits.mean(), None
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                               jnp.arange(reps))
@@ -257,13 +264,25 @@ def main(argv=None):
         m = args.batch * args.prefill
         dt_q = bench_prefill(qcfg, args.batch, args.prefill,
                              f"{args.family} W4A4 prefill {lm.n_layers}L")
+        # serving prefill: the lm_head runs only at the last position
+        # (what a generate loop actually dispatches before decoding)
+        dt_s = bench_prefill(
+            qcfg, args.batch, args.prefill,
+            f"{args.family} W4A4 serve-prefill {lm.n_layers}L",
+            last_only=True)
         out = {"family": args.family, "mode": "prefill",
                "n_layers": lm.n_layers, "batch": args.batch,
                "prefill": args.prefill,
                "tokens_per_s": round(args.batch * args.prefill / dt_q, 1),
                "ms_per_prefill": round(dt_q * 1e3, 1),
                "int8_mfu_pct": round(
-                   matmul_flops(lm, m) / dt_q / PEAK_INT8 * 100, 1)}
+                   matmul_flops(lm, m) / dt_q / PEAK_INT8 * 100, 1),
+               "serve_ms_per_prefill": round(dt_s * 1e3, 1),
+               "serve_tokens_per_s": round(
+                   args.batch * args.prefill / dt_s, 1),
+               "serve_int8_mfu_pct": round(
+                   matmul_flops(lm, m, head_m=args.batch) / dt_s
+                   / PEAK_INT8 * 100, 1)}
         if not args.no_baseline:
             # depth-matched bf16 comparison at the largest depth that
             # fits (bf16 prefill doubles the weight footprint via the
