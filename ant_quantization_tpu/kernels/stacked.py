@@ -175,6 +175,74 @@ def _p4_kernel(l_ref, aq_ref, q16_ref, xlo_ref, xhi_ref, w_ref,
         o_ref[...] = acc_ref[...]
 
 
+def _i8_prefill_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
+                       xq_ref, *, n_k: int, g: int, ovp: bool, bk: int):
+    """M-blocked (prefill-size) variant of _i8_kernel: grid (m, n, k).
+
+    The snap runs IN-kernel: on the first n-pass (j == 0) each (bm, bk)
+    activation tile is snapped once into a persistent (bm, K) int8
+    scratch; later n-blocks reuse the codes, so the VPU work is exactly
+    once per element. The x BlockSpec maps n > 0 to block (m, 0) — an
+    unchanged index between consecutive k steps, which the pipeline
+    does not re-fetch — so the f32 activations stream once per m row.
+
+    MEASURED RESULT (v5e, OPT-6.7B bs=4 T=512, engine prefill): 240 ms
+    vs 120 ms for the XLA path — a 2x LOSS, kept off by default
+    (EngineConfig.stacked_prefill). The (m, n, k) grid re-streams the
+    full weight stack once per M block (n_m = 16 at bm=128: +15 x
+    6.45 GB ~= 140 ms of DMA), which swamps the ~10 ms of standalone
+    snap it fuses away; no loop order avoids this, because a
+    weight-stationary-over-m schedule needs an (M, bn) accumulator
+    (2048 x 2048 f32 = 16 MB) that does not fit next to the other
+    buffers in ~16 MB of VMEM. Exact numerics either way; the variant
+    only wins when M is small enough that n_m == 1 (a few hundred
+    rows), where it matches the decode kernel's economics."""
+    j, kc = pl.program_id(1), pl.program_id(2)
+    l = l_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        aq = [aq_ref[l, i] for i in range(g)]
+        xq_ref[:, pl.ds(kc * bk, bk)] = _snap_int8(x_ref[...], aq, g)
+
+    xq = xq_ref[:, pl.ds(kc * bk, bk)]
+    dims = (((1,), (0,)), ((), ()))
+    if ovp:
+        # sign-offset OVP weights: 16*(x@c) - 15*(x@clip(c)), clamp
+        # sub-chunked through i32 (no int8 VPU ALU; see _i8_kernel)
+        bkw = w_ref.shape[0]
+        sub = min(bkw, 256)
+        part = None
+        for k0 in range(0, bkw, sub):
+            wc = w_ref[k0:k0 + sub, :]
+            xc = xq[:, k0:k0 + sub]
+            clip_c = jnp.clip(wc.astype(jnp.int32), -64, 64
+                              ).astype(jnp.int8)
+            p = (16 * jax.lax.dot_general(
+                     xc, wc, dims, preferred_element_type=jnp.int32)
+                 - 15 * jax.lax.dot_general(
+                     xc, clip_c, dims, preferred_element_type=jnp.int32)
+                 ).astype(jnp.float32)
+            part = p if part is None else part + p
+        part = part.astype(jnp.int32) if acc_ref.dtype == jnp.int32 \
+            else part
+    else:
+        part = jax.lax.dot_general(xq, w_ref[...], dims,
+                                   preferred_element_type=jnp.int32)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(kc > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(kc == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
 def _aovp_kernel(l_ref, mids_ref, ties_ref, enc_ref, x_ref, w_ref,
                  o_ref, acc_ref, pw_ref=None, *, n_k: int, w_ovp: bool,
                  sub: int):
@@ -329,6 +397,59 @@ def stacked_quant_matmul_aovp(l: jax.Array, x: jax.Array, w2d: jax.Array,
     return acc[:M] * out_scale[None, :]
 
 
+def _prefill_i8(l, x, w2d, scales, a_q, a_scale, *, n_layers: int,
+                block_n: int, block_k: int, block_m: int, ovp: bool,
+                interpret: bool) -> jax.Array:
+    """M-blocked stacked matmul (see _i8_prefill_kernel). Numerics are
+    bit-identical to the decode path: same snap, same int8 MXU dots,
+    same int32 (f32 for OVP) accumulation, one f32 scale outside."""
+    M, K = x.shape
+    _, N = w2d.shape
+    bm = block_m
+    Mp = -(-M // bm) * bm
+    sc = jax.lax.dynamic_index_in_dim(a_scale, l, 0, keepdims=False)
+    xp = jnp.pad(x.astype(jnp.float32) / sc, ((0, Mp - M), (0, 0)))
+    # cap bn at 2048: the (bm, K) int8 code scratch joins the usual
+    # buffers, so bigger N blocks would breach the VMEM budget
+    bn = _fit(N, min(block_n, 2048))
+    bk = _fit(K, block_k)
+    n_m, n_n, n_k = Mp // bm, N // bn, K // bk
+    g = int(a_q.shape[1])
+
+    acc_dtype = jnp.float32 if ovp else jnp.int32
+    acc = pl.pallas_call(
+        functools.partial(_i8_prefill_kernel, n_k=n_k, g=g, ovp=ovp,
+                          bk=bk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,            # (l, a_q)
+            grid=(n_m, n_n, n_k),
+            in_specs=[
+                # n > 0 reads codes from the scratch, not x: mapping
+                # those steps to block (m, 0) keeps the index unchanged
+                # between consecutive k steps so the pipeline never
+                # re-fetches the f32 activations
+                pl.BlockSpec((bm, bk),
+                             lambda m, j, c, *_:
+                             (m, jnp.where(j > 0, 0, c)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn),
+                             lambda m, j, c, l_ref, *_:
+                             (l_ref[0] * (K // bk) + c, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, j, c, *_: (m, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype),
+                            pltpu.VMEM((bm, K), jnp.int8)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), acc_dtype),
+        interpret=interpret,
+    )(l.reshape(1), a_q.astype(jnp.float32), xp, w2d)
+    out_scale = jax.lax.dynamic_index_in_dim(
+        scales.astype(jnp.float32), l, 0, keepdims=False)
+    return acc[:M].astype(jnp.float32) * out_scale[None, :]
+
+
 def _fit(n: int, want: int, quantum: int = 128) -> int:
     if n <= want:
         return n
@@ -341,19 +462,23 @@ def _fit(n: int, want: int, quantum: int = 128) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "n_layers", "block_n",
-                                             "block_k", "affine", "ovp",
-                                             "interpret"))
+                                             "block_k", "block_m",
+                                             "affine", "ovp", "interpret"))
 def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
                          scales: jax.Array, a_q: jax.Array,
                          a_scale: jax.Array, q16: Optional[jax.Array],
                          *, mode: str, n_layers: int, block_n: int = 2048,
-                         block_k: int = 1024, affine: bool = False,
+                         block_k: int = 1024, block_m: int = 128,
+                         affine: bool = False,
                          ovp: bool = False,
                          interpret: bool = False) -> jax.Array:
     """snap(x / a_scale[l]) @ W[l] * scales[l] for one layer of a stack.
 
     l:       () int32 layer index (scalar-prefetched)
-    x:       (M, K) f32 activations, M <= 256 (the decode path)
+    x:       (M, K) f32 activations. M <= 64 takes the decode path (one
+             M block); larger M (prefill) takes the M-blocked kernel
+             with the snap overlapped into the MXU pipeline (mode "i8"
+             only — see _i8_prefill_kernel)
     w2d:     mode="i8": (L*K, N) int8 codebook values
              mode="p4": (L*K/2, N) uint8 split-K packed nibbles
     scales:  (L, N) f32 — a_scale * per-channel weight scale, folded;
@@ -362,6 +487,9 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
     a_scale: (L, 1) f32 — activation scale (the division happens outside
              the kernel, the exact arithmetic of the unfused path)
     q16:     (L, 16) int32 per-layer weight codebook (p4 only)
+    block_m: prefill row-block (128 keeps the worst-case VMEM
+             footprint — K=16384 fc_out — near 10 MB of the ~16 MB core
+             budget: w 2x2 + acc 1 + out 2x1 + x 2x0.5 + xq 2)
     Returns (M, N) f32.
     """
     M, K = x.shape
@@ -372,6 +500,11 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
     rows = K if mode == "i8" else K // 2
     assert w2d.shape[0] == n_layers * rows, (w2d.shape, n_layers, rows)
     l = jnp.asarray(l, jnp.int32)
+    if mode == "i8" and M > 64:
+        return _prefill_i8(l, x, w2d, scales, a_q, a_scale,
+                           n_layers=n_layers, block_n=block_n,
+                           block_k=block_k, block_m=block_m, ovp=ovp,
+                           interpret=interpret)
     Mp = max(8, -(-M // 8) * 8)
     # pre-scale outside the kernel (same division as the unfused path)
     sc = jax.lax.dynamic_index_in_dim(a_scale, l, 0, keepdims=False)

@@ -91,6 +91,18 @@ class EngineConfig:
     stacked_max_m: int = 64
     stacked_block_n: int = 4096  # (4096,1024): 12.04 vs 12.31 ms/step at (2048,1024), r4 measured
     stacked_block_k: int = 1024
+    # Route prefill-size matmuls (M > stacked_max_m) through the
+    # M-blocked stacked kernel (kernels/stacked.py:_i8_prefill_kernel):
+    # the activation snap runs in-kernel instead of as standalone XLA
+    # VPU chains. MEASURED SLOWER at OPT-6.7B bs=4 T=512 (240 vs
+    # 120 ms/prefill): the (m, n, k) grid re-streams the weight stack
+    # once per M block (+16x 6.45 GB = ~140 ms of DMA), and v5e's
+    # ~16 MB VMEM cannot hold an M=2048-row accumulator to avoid it —
+    # XLA's pipeline (snap standalone at ~10 ms, weights streamed once
+    # at ~92% of the dot floor) wins structurally, so this stays OFF.
+    # Kept as a measured variant: exact numerics, engine-level parity
+    # test, useful when M is a few hundred rows (n_m == 1).
+    stacked_prefill: bool = False
     # Megatron-style tensor parallelism (serve/sharded.py): inside
     # shard_map every layer tensor is a local shard — q/k/v/fc_in column
     # parallel (local heads / local d_ff), out/fc_out row parallel with a
@@ -386,12 +398,21 @@ def build_engine_params(cfg: EngineConfig, params: Dict,
 
 def _prepare_stacked(cfg: EngineConfig, ep: Dict, M: int) -> Optional[Dict]:
     """Per-site operands for the stacked-layer Pallas kernel, or None when
-    the config/shape can't use it (prefill-size M, no act quant, inexact
-    activation grid). The (L, K, N) stacks are reshaped to (L*K, N) —
-    free on the default layout — once per forward, outside the scan."""
+    the config/shape can't use it (no act quant, inexact activation
+    grid). The (L, K, N) stacks are reshaped to (L*K, N) — free on the
+    default layout — once per forward, outside the scan.
+
+    Decode-size M (<= cfg.stacked_max_m) is all-or-nothing (any inexact
+    site disables the kernel so the step stays one homogeneous path).
+    Prefill-size M routes through the M-blocked kernel per-site when
+    cfg.stacked_prefill: eligible int8-value sites get the in-kernel
+    snap, aovp / inexact sites individually fall back to the XLA
+    mirror."""
+    prefill = M > cfg.stacked_max_m
     if not (cfg.stacked_kernel and cfg.act_bits
-            and cfg.weight_mode in ("w4", "w4pack")
-            and M <= cfg.stacked_max_m):
+            and cfg.weight_mode in ("w4", "w4pack")):
+        return None
+    if prefill and not (cfg.stacked_prefill and cfg.weight_mode == "w4"):
         return None
     stk = {}
     for name, site in ep["layers"].items():
@@ -400,6 +421,8 @@ def _prepare_stacked(cfg: EngineConfig, ep: Dict, M: int) -> Optional[Dict]:
             continue
         if (cfg.weight_mode == "w4" and "aovp_enc" in site
                 and "oscale" in site):
+            if prefill:
+                continue          # per-site XLA fallback (exact mirror)
             # full-OliVe site: OVP activations (and possibly OVP
             # weights) through the aovp kernel
             w = site["w_i8"]
@@ -417,6 +440,8 @@ def _prepare_stacked(cfg: EngineConfig, ep: Dict, M: int) -> Optional[Dict]:
                 enc=site["aovp_enc"])
             continue
         if "a_q" not in site or "oscale" not in site:
+            if prefill:
+                continue          # per-site XLA fallback
             return None                     # inexact act grid: fall back
         if cfg.weight_mode == "w4":
             w = site["w_i8"]                # (L, K, N) int8
@@ -696,8 +721,6 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
             y2d = jax.lax.psum(y2d, cfg.tp_axis)
         return (y2d + site["bias"]).astype(cfg.dtype)
 
-    stk = _prepare_stacked(cfg, ep, B * T)
-
     def layer(carry, scanned):
         x, kv = carry
         lay, l = scanned
@@ -754,10 +777,13 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
         return "a_q" in site
 
     sp = (cfg.sp_prefill and cfg.tp_axis is not None and cfg.tp_size > 1
-          and stk is None and T > 1          # prefill only: decode keeps
-          and cfg.weight_mode == "w4" and cfg.act_bits   # the psum path
+          and M > cfg.stacked_max_m and T > 1   # prefill only: decode
+          and cfg.weight_mode == "w4" and cfg.act_bits  # keeps the psums
           and M % cfg.tp_size == 0 and M >= cfg.tp_size
           and all(_sp_site_ok(s) for s in site_names))
+    # the rings own the prefill under TP; otherwise the M-blocked
+    # stacked kernel fuses the activation snap into the matmuls
+    stk = None if sp else _prepare_stacked(cfg, ep, M)
     if sp:
         from ..ops.ovp import victim_mask
         tp_i = jax.lax.axis_index(cfg.tp_axis)

@@ -258,3 +258,40 @@ def test_engine_last_index_matches_full():
         for a, b in zip(jax.tree_util.tree_leaves(kv_a),
                         jax.tree_util.tree_leaves(kv_b)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_stacked_prefill_matches_xla_path():
+    """Prefill-size M (> stacked_max_m) routes the int8-exact sites
+    through the M-blocked stacked kernel (in-kernel snap,
+    kernels/stacked.py:_i8_prefill_kernel); logits must equal the plain
+    XLA path (stacked_prefill=False) exactly — same snap, same int8
+    dots — and track the fake-quant model."""
+    cfg = LMConfig(vocab_size=128, d_model=64, n_layers=2, n_heads=4,
+                   d_ff=128, max_seq=96, positions="learned",
+                   activation="gelu_new", fused_qkv=True)
+    qcfg = QuantConfig(mode="flint", family="ant",
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    model = TransformerLM(cfg, qcfg)
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, cfg.vocab_size, (2, 40)))                      # M = 80 > 64
+    variables = model.init(jax.random.PRNGKey(1), ids)
+    _, upd = model.apply(variables, ids, mutable=["quant"])
+    want = model.apply({"params": variables["params"],
+                        "quant": upd["quant"]}, ids)
+
+    outs = {}
+    for pref in (False, True):
+        ecfg = eng.EngineConfig(lm=cfg, weight_mode="w4", act_bits=4,
+                                kv_int8=False, max_seq=96,
+                                dtype=jnp.float32, interpret=True,
+                                stacked_prefill=pref)
+        ep = eng.build_engine_params(ecfg, variables["params"],
+                                     upd["quant"])
+        stk = eng._prepare_stacked(ecfg, ep, 80)
+        assert (stk is not None) == pref
+        got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+        outs[pref] = np.asarray(got)
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(outs[True], np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
