@@ -147,3 +147,24 @@ def test_chunked_ticks_match_per_tick(setup):
     done = cb.run(ticks_per_dispatch=4)
     assert done[0].finish_reason == "eos"
     assert done[0].tokens == ref[:ref.index(eos) + 1]
+
+
+def test_legacy_forward_fn_without_last_index(setup):
+    """A custom forward_fn with the old 4-arg signature (no last_index)
+    must still work: the batcher detects the missing kwarg and slices
+    the full logits at the last real prompt position itself, producing
+    the same tokens as the default path."""
+    cfg, ep = setup
+    prompt, n_new = [3, 1, 4, 1, 5], 6
+
+    legacy = lambda ep_, ids_, kv_, pos0_: eng.forward(
+        cfg, ep_, ids_, kv_, pos0_)
+    out = {}
+    for fwd in (None, legacy):
+        cb = ContinuousBatcher(cfg, ep, batch_slots=1,
+                               prefill_buckets=(8,), forward_fn=fwd)
+        cb.submit(Request(prompt=prompt, max_new_tokens=n_new))
+        done = cb.run()
+        out[fwd is None] = done[0].tokens
+    assert out[True] == out[False] == _reference_generate(
+        cfg, ep, prompt, n_new)
