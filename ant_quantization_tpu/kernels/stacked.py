@@ -71,6 +71,35 @@ def _snap_int8(xs, aq, g):
     return xq.astype(jnp.int8)
 
 
+def _ovp_dual_dot(xq, w_ref, acc_dtype):
+    """16*(x@c) - 15*(x@clip(c)) — exact reconstruction of sign-offset
+    OVP weights from one int8 stream (kernels/qmatmul.py encoding). The
+    only per-element work on the weight stream is the clamp; the TPU
+    VPU has no int8 elementwise ALU (even i8 sub/cmp fail to lower), so
+    it routes through an i32 roundtrip, SUB-CHUNKED along K to keep the
+    4x-wider i32 temporaries inside the scoped-vmem budget. (Measured
+    faster than clamping into a full-block int8 scratch: 13.75 vs
+    16.0 ms/step at OPT-6.7B 32L; the aovp kernel's 4-dot case prefers
+    the scratch, see _aovp_kernel.) Per-sub-chunk int32 is safely
+    bounded (16*256*127^2 < 2^27); the CROSS-chunk sum accumulates in
+    f32 so adversarial all-outlier columns at K=16384 cannot wrap."""
+    dims = (((1,), (0,)), ((), ()))
+    bk = w_ref.shape[0]
+    sub = min(bk, 256)
+    part = None
+    for k0 in range(0, bk, sub):
+        wc = w_ref[k0:k0 + sub, :]
+        xc = xq[:, k0:k0 + sub]
+        clip_c = jnp.clip(wc.astype(jnp.int32), -64, 64).astype(jnp.int8)
+        p = (16 * jax.lax.dot_general(
+                 xc, wc, dims, preferred_element_type=jnp.int32)
+             - 15 * jax.lax.dot_general(
+                 xc, clip_c, dims, preferred_element_type=jnp.int32)
+             ).astype(jnp.float32)
+        part = p if part is None else part + p
+    return part.astype(jnp.int32) if acc_dtype == jnp.int32 else part
+
+
 def _i8_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
                pw_ref=None, *, n_k: int, g: int, ovp: bool = False):
     """One (M, bn) int32 tile at K-step kc over int8-value weights.
@@ -84,37 +113,11 @@ def _i8_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
     l = l_ref[0]
     aq = [aq_ref[l, i] for i in range(g)]
     xq = _snap_int8(x_ref[...], aq, g)
-    dims = (((1,), (0,)), ((), ()))
     if ovp:
-        # decode = 16*(x@c) - 15*(x@clip(c)): the only per-element work
-        # on the weight stream is the clamp. The TPU VPU has no int8
-        # elementwise ALU (even i8 sub/cmp fail to lower), so the clamp
-        # routes through an i32 roundtrip — SUB-CHUNKED along K to keep
-        # the 4x-wider i32 temporaries inside the scoped-vmem budget.
-        # (Measured faster than clamping into a full-block int8 scratch:
-        # 13.75 vs 16.0 ms/step at OPT-6.7B 32L; the aovp kernel's
-        # 4-dot case prefers the scratch, see _aovp_kernel.)
-        bk = w_ref.shape[0]
-        sub = min(bk, 256)
-        part = None
-        for k0 in range(0, bk, sub):
-            wc = w_ref[k0:k0 + sub, :]
-            xc = xq[:, k0:k0 + sub]
-            clip_c = jnp.clip(wc.astype(jnp.int32), -64, 64
-                              ).astype(jnp.int8)
-            # per-sub-chunk int32 is safely bounded (16*256*127^2 <
-            # 2^27); the CROSS-chunk sum accumulates in f32 so
-            # adversarial all-outlier columns at K=16384 cannot wrap
-            p = (16 * jax.lax.dot_general(
-                     xc, wc, dims, preferred_element_type=jnp.int32)
-                 - 15 * jax.lax.dot_general(
-                     xc, clip_c, dims, preferred_element_type=jnp.int32)
-                 ).astype(jnp.float32)
-            part = p if part is None else part + p
-        part = part.astype(jnp.int32) if acc_ref.dtype == jnp.int32 \
-            else part
+        part = _ovp_dual_dot(xq, w_ref, acc_ref.dtype)
     else:
-        part = jax.lax.dot_general(xq, w_ref[...], dims,
+        part = jax.lax.dot_general(xq, w_ref[...],
+                                   (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
 
     @pl.when(kc == 0)
@@ -206,28 +209,11 @@ def _i8_prefill_kernel(l_ref, aq_ref, x_ref, w_ref, o_ref, acc_ref,
         xq_ref[:, pl.ds(kc * bk, bk)] = _snap_int8(x_ref[...], aq, g)
 
     xq = xq_ref[:, pl.ds(kc * bk, bk)]
-    dims = (((1,), (0,)), ((), ()))
     if ovp:
-        # sign-offset OVP weights: 16*(x@c) - 15*(x@clip(c)), clamp
-        # sub-chunked through i32 (no int8 VPU ALU; see _i8_kernel)
-        bkw = w_ref.shape[0]
-        sub = min(bkw, 256)
-        part = None
-        for k0 in range(0, bkw, sub):
-            wc = w_ref[k0:k0 + sub, :]
-            xc = xq[:, k0:k0 + sub]
-            clip_c = jnp.clip(wc.astype(jnp.int32), -64, 64
-                              ).astype(jnp.int8)
-            p = (16 * jax.lax.dot_general(
-                     xc, wc, dims, preferred_element_type=jnp.int32)
-                 - 15 * jax.lax.dot_general(
-                     xc, clip_c, dims, preferred_element_type=jnp.int32)
-                 ).astype(jnp.float32)
-            part = p if part is None else part + p
-        part = part.astype(jnp.int32) if acc_ref.dtype == jnp.int32 \
-            else part
+        part = _ovp_dual_dot(xq, w_ref, acc_ref.dtype)
     else:
-        part = jax.lax.dot_general(xq, w_ref[...], dims,
+        part = jax.lax.dot_general(xq, w_ref[...],
+                                   (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
 
     @pl.when(kc == 0)
@@ -475,10 +461,11 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
     """snap(x / a_scale[l]) @ W[l] * scales[l] for one layer of a stack.
 
     l:       () int32 layer index (scalar-prefetched)
-    x:       (M, K) f32 activations. M <= 64 takes the decode path (one
-             M block); larger M (prefill) takes the M-blocked kernel
-             with the snap overlapped into the MXU pipeline (mode "i8"
-             only — see _i8_prefill_kernel)
+    x:       (M, K) f32 activations. M <= 256 takes the decode path
+             (one M block — the engine's stacked_max_m configs all fit
+             here); larger M takes the M-blocked kernel with the snap
+             in-kernel (mode "i8" only — see _i8_prefill_kernel and its
+             measured-slower caveat)
     w2d:     mode="i8": (L*K, N) int8 codebook values
              mode="p4": (L*K/2, N) uint8 split-K packed nibbles
     scales:  (L, N) f32 — a_scale * per-channel weight scale, folded;
@@ -500,7 +487,7 @@ def stacked_quant_matmul(l: jax.Array, x: jax.Array, w2d: jax.Array,
     rows = K if mode == "i8" else K // 2
     assert w2d.shape[0] == n_layers * rows, (w2d.shape, n_layers, rows)
     l = jnp.asarray(l, jnp.int32)
-    if mode == "i8" and M > 64:
+    if mode == "i8" and M > 256:
         return _prefill_i8(l, x, w2d, scales, a_q, a_scale,
                            n_layers=n_layers, block_n=block_n,
                            block_k=block_k, block_m=block_m, ovp=ovp,

@@ -197,6 +197,16 @@ def pack_w4_stack(w_i8: np.ndarray, ovp: bool,
     layer is flattened with that axis minor before pairing.
     """
     L, K, N = w_i8.shape
+    if ovp:
+        # pairs are aligned (even, odd) positions along pair_axis; an
+        # odd length would make flattened pairs straddle row boundaries
+        # and the victim fix-up in unpack_w4_stack would then zero a
+        # genuine weight of the neighboring row — refuse loudly
+        pair_len = K if pair_axis == 0 else N
+        if pair_len % 2:
+            raise ValueError(
+                f"OVP pair packing needs an even pair-axis length; "
+                f"axis {pair_axis} of (K={K}, N={N}) is odd")
     packed, side, ntab, otab = [], [], [], []
     any_outlier = False
     for l in range(L):

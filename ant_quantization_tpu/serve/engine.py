@@ -888,16 +888,16 @@ def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,
         # codebooks and aovp tables are kernel operands passed full):
         # slicing the ~20 unused per-site leaves every layer measured
         # ~0.36 ms/step at OPT-6.7B 32L (r4 trace), so prune them.
-        big = ("w_i8", "packed")
         lay_xs = {}
         for k, v in ep["layers"].items():
-            if not isinstance(v, dict):
-                lay_xs[k] = v
-            elif k in stk:
+            if isinstance(v, dict) and k in stk:
                 lay_xs[k] = {"bias": v["bias"]}
             else:
-                lay_xs[k] = {kk: vv for kk, vv in v.items()
-                             if kk not in big}
+                # sites NOT in stk (stacked_prefill's per-site fallback:
+                # aovp / inexact grids / conv1d kscale) run the plain
+                # XLA path, which reads the weights — keep every leaf,
+                # including the big stacks, in the scan xs
+                lay_xs[k] = v
     (x, kv), _ = jax.lax.scan(layer, (x, kv),
                               (lay_xs, jnp.arange(c.n_layers)))
     if last_index is not None:

@@ -94,17 +94,20 @@ class ContinuousBatcher:
         self._root_key = jax.random.PRNGKey(seed)
         self._tick = 0
         scfg = self.sampling
-        fwd = forward_fn or (lambda ep_, ids_, kv_, pos0_, **kw:
-                             eng.forward(cfg, ep_, ids_, kv_, pos0_, **kw))
+        fwd = forward_fn or (
+            lambda ep_, ids_, kv_, pos0_, last_index=None:
+            eng.forward(cfg, ep_, ids_, kv_, pos0_,
+                        last_index=last_index))
         # prefill only needs the last real prompt position's logits;
-        # forward_fns that take ``last_index`` (the engine's and
-        # make_sharded_forward's do) skip the padded-bucket lm_head
+        # forward_fns with an EXPLICIT ``last_index`` parameter (the
+        # default above and make_sharded_forward's) skip the
+        # padded-bucket lm_head. A **kwargs catch-all does NOT qualify:
+        # a wrapper that swallows the kwarg would silently sample the
+        # padded tail instead of prompt_len - 1.
         import inspect
         try:
             sig = inspect.signature(forward_fn or fwd)
-            _fwd_last = ("last_index" in sig.parameters or any(
-                p.kind == inspect.Parameter.VAR_KEYWORD
-                for p in sig.parameters.values()))
+            _fwd_last = "last_index" in sig.parameters
         except (TypeError, ValueError):
             _fwd_last = False
 

@@ -78,3 +78,18 @@ def test_ovp_dense_compression_ratio():
     packed, side = bc.ovp_pack(np.zeros(n, np.uint8),
                                np.zeros(n, np.uint8), np.zeros(n, bool))
     assert packed.nbytes + side.nbytes == n // 2 + n // 8
+
+
+def test_pack_w4_stack_rejects_odd_pair_axis():
+    """OVP pair packing with an odd pair-axis length would silently pair
+    a row-final outlier with the next row's first element and zero a
+    genuine weight at unpack — must refuse loudly instead."""
+    import pytest
+    from ant_quantization_tpu.numerics.bitcodec import pack_w4_stack
+    w = np.zeros((2, 5, 4), np.int8)        # K=5 odd, pairs along K
+    with pytest.raises(ValueError, match="even pair-axis"):
+        pack_w4_stack(w, ovp=True, pair_axis=0)
+    # outlier-free packing has no pairs to misalign: odd is fine
+    out = pack_w4_stack(w, ovp=False, pair_axis=0)
+    from ant_quantization_tpu.numerics.bitcodec import unpack_w4_stack
+    np.testing.assert_array_equal(unpack_w4_stack(out), w)

@@ -295,3 +295,44 @@ def test_engine_stacked_prefill_matches_xla_path():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(outs[True], np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_engine_stacked_prefill_mixed_sites_fall_back_per_site():
+    """stacked_prefill with MIXED sites: one site without an int8-exact
+    activation grid is excluded from the stacked prep and runs the
+    plain XLA path, which reads the weight stacks from the scan xs — a
+    regression test for the lay_xs pruning dropping 'w_i8' from
+    fallback sites (trace-time KeyError). Logits must equal
+    stacked_prefill=False on the same params."""
+    cfg = LMConfig(vocab_size=128, d_model=64, n_layers=2, n_heads=4,
+                   d_ff=128, max_seq=96, positions="learned",
+                   activation="gelu_new", fused_qkv=True)
+    qcfg = QuantConfig(mode="flint", family="ant",
+                       w_low=100, w_up=101, a_low=100, a_up=101)
+    model = TransformerLM(cfg, qcfg)
+    ids = jnp.asarray(np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (2, 40)))                      # M = 80 > 64
+    variables = model.init(jax.random.PRNGKey(1), ids)
+    _, upd = model.apply(variables, ids, mutable=["quant"])
+
+    outs = {}
+    for pref in (False, True):
+        ecfg = eng.EngineConfig(lm=cfg, weight_mode="w4", act_bits=4,
+                                kv_int8=False, max_seq=96,
+                                dtype=jnp.float32, interpret=True,
+                                stacked_prefill=pref)
+        ep = eng.build_engine_params(ecfg, variables["params"],
+                                     upd["quant"])
+        # force fc_out onto the generic XLA activation path (as if its
+        # grid were not int8-exact); the a_grid/a_alpha fallback stays
+        assert "a_grid" in ep["layers"]["fc_out"]
+        del ep["layers"]["fc_out"]["a_q"]
+        del ep["layers"]["fc_out"]["a_scale"]
+        if pref:
+            stk = eng._prepare_stacked(ecfg, ep, 80)
+            assert stk is not None and "fc_out" not in stk
+            assert "qkv" in stk and "fc_in" in stk
+        got, _ = eng.forward(ecfg, ep, ids, eng.init_cache(ecfg, 2), 0)
+        outs[pref] = np.asarray(got)
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-6, atol=1e-6)

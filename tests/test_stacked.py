@@ -54,7 +54,7 @@ def _mk_stack(mode, L=3, K=64, N=32, seed=0):
 
 
 @pytest.mark.parametrize("mode", ["i8", "p4"])
-@pytest.mark.parametrize("M", [1, 4, 9])
+@pytest.mark.parametrize("M", [1, 4, 9, 300])
 def test_stacked_matches_oracle(mode, M):
     L, K, N = 3, 64, 32
     st = _mk_stack(mode, L, K, N)
@@ -129,3 +129,31 @@ def test_engine_stacked_equals_unfused(weight_mode, wmode):
     a = run(True)
     b = run(False)
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("ovp", [False, True])
+def test_prefill_kernel_matches_decode_path(ovp):
+    """M > 256 routes mode='i8' through the M-blocked prefill kernel
+    (_i8_prefill_kernel: per-row int8 code scratch, snap once per
+    element); results must be bit-identical to the single-block decode
+    kernel on every row — plain and OVP-encoded weights."""
+    rng = np.random.default_rng(0)
+    L, M, K, N, G = 2, 300, 256, 384, 16
+    aq = np.sort(rng.integers(-120, 120, (L, G))).astype(np.float32)
+    w = rng.integers(-100, 100, (L, K, N)).astype(np.int8)
+    x = rng.normal(size=(M, K)).astype(np.float32) * 3
+    a_scale = rng.uniform(0.5, 2, (L, 1)).astype(np.float32)
+    scales = rng.uniform(0.5, 2, (L, N)).astype(np.float32)
+    w2d = jnp.asarray(w.reshape(L * K, N))
+    for l in range(L):
+        big = np.asarray(stacked_quant_matmul(
+            jnp.int32(l), jnp.asarray(x), w2d, jnp.asarray(scales),
+            jnp.asarray(aq), jnp.asarray(a_scale), None, mode="i8",
+            n_layers=L, ovp=ovp, interpret=True))
+        for i in range(0, M, 128):          # decode path, row blocks
+            small = np.asarray(stacked_quant_matmul(
+                jnp.int32(l), jnp.asarray(x[i:i + 128]), w2d,
+                jnp.asarray(scales), jnp.asarray(aq),
+                jnp.asarray(a_scale), None, mode="i8", n_layers=L,
+                ovp=ovp, interpret=True))
+            np.testing.assert_array_equal(big[i:i + 128], small)

@@ -70,6 +70,8 @@ def rand_engine_params(cfg: eng.EngineConfig, key):
         sites = {s: (c.d_model, c.d_model) for s in ("q", "k", "v")}
     sites.update(out=(c.d_model, c.d_model),
                  fc_in=(c.d_model, c.d_ff), fc_out=(c.d_ff, c.d_model))
+    from ant_quantization_tpu.models.transformer_lm import conv1d_site_names
+    c1d = conv1d_site_names(c)
     wgrid = cb.ant_grid("flint", 4, True)[:16]
     agrid = cb.ant_grid("flint", 4, False)[:16]
     from ant_quantization_tpu.kernels.qmatmul import int8_codebook
@@ -86,7 +88,15 @@ def rand_engine_params(cfg: eng.EngineConfig, key):
             entry["w_i8"] = pinned(
                 lambda k, K=K, N=N: jax.random.randint(
                     k, (L, K, N), -64, 64, jnp.int8), keys[i])
-            entry["oscale"] = jnp.full((L, N), 2e-3 * w_unit, jnp.float32)
+            if name in c1d:
+                # GPT-2 Conv1D semantics: per-IN-channel weight scale —
+                # served through the exact dequantized-weight fallback
+                # (engine.py "kscale"), NOT the int8 stream
+                entry["kscale"] = jnp.full((L, K), 2e-3 * w_unit,
+                                           jnp.float32)
+            else:
+                entry["oscale"] = jnp.full((L, N), 2e-3 * w_unit,
+                                           jnp.float32)
         else:
             entry["kernel"] = pinned(
                 lambda k, K=K, N=N: (
@@ -95,7 +105,7 @@ def rand_engine_params(cfg: eng.EngineConfig, key):
         if cfg.act_bits:
             entry["a_grid"] = jnp.broadcast_to(jnp.asarray(agrid), (L, 16))
             entry["a_alpha"] = jnp.full((L,), 3.0, jnp.float32)
-            if cfg.weight_mode == "w4":
+            if cfg.weight_mode == "w4" and name not in c1d:
                 entry["a_q"] = jnp.broadcast_to(jnp.asarray(aq16), (L, 16))
                 entry["a_scale"] = jnp.full(
                     (L,), 3.0 / a_vmax * a_unit, jnp.float32)
@@ -245,6 +255,13 @@ def main(argv=None):
     ap.add_argument("--prefill", type=int, default=512)
     ap.add_argument("--decode", type=int, default=64)
     ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--linear-sites", action="store_true",
+                    help="serve GPT-2 families with per-OUT-channel "
+                         "(Linear-layout) quantization instead of the "
+                         "reference's per-IN-channel Conv1D semantics: "
+                         "the TPU-native layout that keeps every site "
+                         "on the int8 stream (set conv1d_sites=False "
+                         "when importing to use it in production)")
     ap.add_argument("--mode", choices=("decode", "prefill"),
                     default="decode",
                     help="prefill: compute-bound side — full-forward "
@@ -255,7 +272,10 @@ def main(argv=None):
 
     lm = FAMILIES[args.family]()
     max_seq = args.prefill + args.decode + 32
-    lm = type(lm)(**{**lm.__dict__, "max_seq": max_seq})
+    over = {"max_seq": max_seq}
+    if args.linear_sites:
+        over["conv1d_sites"] = False
+    lm = type(lm)(**{**lm.__dict__, **over})
     qcfg = eng.EngineConfig(lm=lm, weight_mode="w4", act_bits=4,
                             kv_int8=True, max_seq=max_seq,
                             lm_head_int8=True)
@@ -324,10 +344,15 @@ def main(argv=None):
                 vs_bf16_depth_matched=round(dt_b / dt_qd, 2))
         print(json.dumps(out))
         return
+    from ant_quantization_tpu.models.transformer_lm import conv1d_site_names
+    layout = "conv1d(kscale,f32-dequant)" if conv1d_site_names(lm) \
+        else "linear(int8-stream)"
     tps_q = bench_decode(qcfg, args.batch, args.prefill, args.decode,
-                         f"{args.family} W4A4+int8KV {lm.n_layers}L")
+                         f"{args.family} W4A4+int8KV {lm.n_layers}L "
+                         f"[{layout}]")
     out = {"family": args.family, "n_layers": lm.n_layers,
            "d_model": lm.d_model, "vocab": lm.vocab_size,
+           "site_layout": layout,
            "batch": args.batch, "prefill": args.prefill,
            "tokens_per_s": round(tps_q, 1),
            "ms_per_step": round(args.batch / tps_q * 1e3, 2)}
