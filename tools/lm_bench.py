@@ -280,6 +280,9 @@ def main(argv=None):
                             kv_int8=True, max_seq=max_seq,
                             lm_head_int8=True)
 
+    from ant_quantization_tpu.models.transformer_lm import conv1d_site_names
+    layout = "conv1d(kscale,f32-dequant)" if conv1d_site_names(lm) \
+        else "linear(int8-stream)"
     if args.mode == "prefill":
         m = args.batch * args.prefill
         dt_q = bench_prefill(qcfg, args.batch, args.prefill,
@@ -291,6 +294,7 @@ def main(argv=None):
             f"{args.family} W4A4 serve-prefill {lm.n_layers}L",
             last_only=True)
         out = {"family": args.family, "mode": "prefill",
+               "site_layout": layout,
                "n_layers": lm.n_layers, "batch": args.batch,
                "prefill": args.prefill,
                "tokens_per_s": round(args.batch * args.prefill / dt_q, 1),
@@ -344,9 +348,6 @@ def main(argv=None):
                 vs_bf16_depth_matched=round(dt_b / dt_qd, 2))
         print(json.dumps(out))
         return
-    from ant_quantization_tpu.models.transformer_lm import conv1d_site_names
-    layout = "conv1d(kscale,f32-dequant)" if conv1d_site_names(lm) \
-        else "linear(int8-stream)"
     tps_q = bench_decode(qcfg, args.batch, args.prefill, args.decode,
                          f"{args.family} W4A4+int8KV {lm.n_layers}L "
                          f"[{layout}]")
