@@ -119,7 +119,21 @@ def _put_at(buf: jax.Array, upd: jax.Array, prefix: tuple, idx,
             return out
         return branch
 
-    return jax.lax.switch(idx % f, [mk(r0) for r0 in range(f)], buf)
+    def full_rows(b_):
+        # idx % f == 0 and f | T: the T positions fill WHOLE folded rows,
+        # and (.., S/f, f*D) row-major IS position order — the write is a
+        # reshape + ONE contiguous lane-aligned dynamic_update_slice. The
+        # strided branches below update at lane offset r*D (not 128-
+        # aligned), which XLA lowers to masked copies: an r5 trace of the
+        # GPT2-XL prefill (f=2, T=512) showed those + their operand
+        # copies dominating the whole forward (~60 ms of a 125 ms step).
+        return jax.lax.dynamic_update_slice(
+            b_, upd.reshape(upd.shape[:-2] + (T // f, f * D)),
+            prefix + zeros + (idx // f, 0))
+
+    branches = [full_rows if r0 == 0 and T % f == 0 else mk(r0)
+                for r0 in range(f)]
+    return jax.lax.switch(idx % f, branches, buf)
 
 
 def _put_codes(buf: jax.Array, val: jax.Array, index, layer=None):
@@ -185,7 +199,18 @@ def _put_scale_at(buf: jax.Array, upd: jax.Array, prefix: tuple, idx,
             return out
         return branch
 
-    return jax.lax.switch(idx % f, [mk(r0) for r0 in range(f)], buf)
+    def full_rows(b_):
+        # aligned whole-row fill (see _put_at.full_rows): position p goes
+        # to plane p % f, row p // f — a (T/f, f) reshape + transpose of
+        # the small scale vector, then one contiguous DUS
+        planes = upd.reshape(upd.shape[:-1] + (T // f, f))
+        planes = jnp.swapaxes(planes, -1, -2)
+        return jax.lax.dynamic_update_slice(
+            b_, planes, prefix + zeros + (0, idx // f))
+
+    branches = [full_rows if r0 == 0 and T % f == 0 else mk(r0)
+                for r0 in range(f)]
+    return jax.lax.switch(idx % f, branches, buf)
 
 
 def _put_scales(buf: jax.Array, val: jax.Array, index, layer=None,
