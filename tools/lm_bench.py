@@ -12,8 +12,13 @@ vs_bf16 ratio is reported.
 
 Usage:
     python tools/lm_bench.py --family gpt2-xl [--batch 4 --prefill 512]
+    python tools/lm_bench.py --family gpt2-xl --linear-sites
+        # gpt2-* defaults to the reference's per-IN-channel Conv1D
+        # quantizer semantics (f32-dequant serving); --linear-sites
+        # measures the TPU-native per-OUT layout (int8 stream)
     python tools/lm_bench.py --family bloom-7b1     # the PERF.md row
     python tools/lm_bench.py --family opt-6.7b      # == bench.py config
+    python tools/lm_bench.py --family opt-6.7b --mode prefill
 """
 
 from __future__ import annotations
