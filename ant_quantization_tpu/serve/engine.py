@@ -655,20 +655,44 @@ def _attention_stacked(cfg: EngineConfig, q, kv: QuantKV, l, pos0, T,
     c = cfg.lm
     qh = jnp.transpose(q, (0, 2, 1, 3))                      # (B, H, T, D)
     S_tot = kv.k.shape[-2] * (kv.k.shape[-1] // c.head_dim)
-    fits = (2 * 2 * S_tot * c.head_dim + 8 * T * c.head_dim
-            + 4 * T * S_tot) <= 6 * 2 ** 20
-    if cfg.kv_int8 and fits:
-        # the cache rides in its NATIVE 5-D layout — flattening to 2-D
-        # is only layout-free for D = 128 (int8 lanes); at head_dim 64
-        # (GPT-2) it repacked the whole cache every step
-        out = stacked_int8_kv_attention(
-            l, qh, kv.k, kv.v, kv.k_scale, kv.v_scale,
-            pos0, alibi, out_dtype=cfg.dtype, interpret=cfg.interpret)
-        return jnp.transpose(out, (0, 2, 1, 3))
+    if cfg.kv_int8:
+        # one head's VMEM tile: k+v codes (int8) + q/out (f32) + scores
+        budget = 6 * 2 ** 20
+        fixed = 2 * 2 * S_tot * c.head_dim
+        per_t = 8 * c.head_dim + 4 * S_tot
+        tc = (budget - fixed) // per_t
+        if tc >= min(T, 8):
+            # the cache rides in its NATIVE 5-D layout — flattening to
+            # 2-D is only layout-free for D = 128 (int8 lanes); at
+            # head_dim 64 (GPT-2) it repacked the whole cache every
+            # step. T > tc (long-context prefill): chunk the QUERIES —
+            # each chunk attends the full cache with its own pos0
+            # offset, exact by construction (causality is positional) —
+            # instead of falling back to the dequantizing einsum, whose
+            # f32 score materialization the r5 trace measured at 23% of
+            # a T=512 prefill before the kernel served it.
+            out = _kernel_attention_chunked(
+                cfg, l, qh, kv, pos0, alibi, min(int(tc), T))
+            return jnp.transpose(out, (0, 2, 1, 3))
     kv_l = QuantKV(*(jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False)
                      for a in kv))
     out = _attention(cfg, q, kv_l, pos0, T, alibi)
     return out
+
+
+def _kernel_attention_chunked(cfg: EngineConfig, l, qh, kv: QuantKV,
+                              pos0, alibi, tc: int) -> jax.Array:
+    """stacked_int8_kv_attention over query chunks of <= tc positions
+    (one call when tc >= T). qh (B, H, T, D) -> (B, H, T, D)."""
+    T = qh.shape[2]
+    outs = []
+    for t0 in range(0, T, tc):
+        n = min(tc, T - t0)
+        outs.append(stacked_int8_kv_attention(
+            l, qh[:, :, t0:t0 + n], kv.k, kv.v, kv.k_scale, kv.v_scale,
+            pos0 + t0, alibi, out_dtype=cfg.dtype,
+            interpret=cfg.interpret))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
 
 
 def forward(cfg: EngineConfig, ep: Dict, ids: jax.Array,

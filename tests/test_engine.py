@@ -336,3 +336,38 @@ def test_engine_stacked_prefill_mixed_sites_fall_back_per_site():
         outs[pref] = np.asarray(got)
     np.testing.assert_allclose(outs[True], outs[False],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_kernel_attention_chunked_matches_single_call():
+    """Long-context prefill chunks the queries through the fused int8-KV
+    kernel (each chunk attends the full cache at its own pos0 offset);
+    any chunk size must give exactly the single-call result — causal
+    mask across chunk boundaries and ALiBi included, folded (head_dim
+    32 -> f=4) cache."""
+    from ant_quantization_tpu.kernels.kv_cache import (QuantKV, append_kv,
+                                                       init_kv)
+    from ant_quantization_tpu.serve.engine import (EngineConfig,
+                                                   _kernel_attention_chunked)
+    B, H, T, D, S = 2, 4, 12, 32, 16
+    rng = np.random.default_rng(0)
+    cfg = eng.EngineConfig(lm=_tiny(), weight_mode="bf16", kv_int8=True,
+                           max_seq=S, dtype=jnp.float32, interpret=True)
+    kv1 = append_kv(init_kv(B, S, H, D),
+                    jnp.asarray(rng.normal(size=(B, T, H, D)),
+                                jnp.float32),
+                    jnp.asarray(rng.normal(size=(B, T, H, D)),
+                                jnp.float32), 0)
+    kv = QuantKV(*[jnp.broadcast_to(x[None], (2,) + x.shape)
+                   for x in kv1])                      # L=2 stacked
+    qh = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    pos0 = jnp.zeros((B,), jnp.int32)
+    alibi = jnp.asarray([0.5, 0.25, 0.125, 0.0625], jnp.float32)
+    for al in (None, alibi):
+        single = _kernel_attention_chunked(cfg, jnp.int32(1), qh, kv,
+                                           pos0, al, T)
+        for tc in (3, 5, 8):
+            chunked = _kernel_attention_chunked(cfg, jnp.int32(1), qh,
+                                                kv, pos0, al, tc)
+            np.testing.assert_allclose(np.asarray(chunked),
+                                       np.asarray(single),
+                                       rtol=1e-6, atol=1e-6)
